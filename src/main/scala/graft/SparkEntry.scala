@@ -22,12 +22,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ChangelogQueries.queries ++
-    RelationalQueries.queries
+    RelationalQueries.queries ++
+    PipelineQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     ChangelogQueries.oracle ++
-    RelationalQueries.oracle
+    RelationalQueries.oracle ++
+    PipelineQueries.oracle
 }

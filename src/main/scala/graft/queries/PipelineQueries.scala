@@ -1,0 +1,541 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Group C (SURVEY.md §2b + north-star extensions): the operators a
+  * large-scale LLM training-data pipeline needs — deduplication (exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine), similarity
+  * search (brute-force top-k, kNN join, sign-LSH-bucketed self-join), and
+  * text analysis (language ID, quality scoring, token counting,
+  * fingerprinting) — over the `documents` / `embeddings` tables.
+  *
+  * Scale posture (100 TB): every pairwise operator is either blocked
+  * (LSH band buckets, sign buckets, lang×source blocks) or explicitly a
+  * small-n baseline; nothing collects to the driver; similarity folds are
+  * higher-order Catalyst expressions, not UDFs.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Language marker words (from the synthetic 31-word vocabulary) used by
+    * the n-gram-heuristic language ID. Arbitrary but fixed; the oracle SQL
+    * interpolates the same lists.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "fast", "data"),
+    "de" -> Seq("window", "group", "table"),
+    "es" -> Seq("filter", "row", "key"),
+    "fr" -> Seq("stream", "batch", "merge"),
+    "zh" -> Seq("vector", "hash", "scan"))
+
+  private val stopwords = Seq("the", "a")
+
+  private val minhashSeeds = 0 until 8 // 8 hashes, 4 bands of 2
+  private val lshDims = Seq(1, 17, 33, 49) // sign-bucket probe dimensions
+
+  /** Normalized embeddings with a precomputed norm (computed with the
+    * exact fold the oracle mirrors).
+    */
+  private def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("nrm", normD(col("embedding")))
+
+  private def simExpr(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotD(a, b) / (na * nb)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup via content-hash groupBy — the 100 TB-safe shape
+    // (shuffle on a 64-char key, never on the document body).
+    "dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
+    "text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "source")),
+
+    "token_count" -> ((s, dir) => {
+      val ws = words(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(ws).as("n_tokens"),
+          size(array_distinct(ws)).as("n_uniq_tokens"),
+          regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_tokens"),
+          length(col("text")).as("n_chars_text"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram-heuristic language ID: score = |distinct tokens ∩ markers|,
+    // argmax with fixed precedence (en > de > es > fr > zh).
+    "lang_id" -> ((s, dir) => {
+      val uniq = array_distinct(words(col("text")))
+      val scored = t(s, dir, "documents").withColumns(
+        markers.map { case (l, ms) =>
+          s"s_$l" -> size(array_intersect(uniq,
+            array(ms.map(lit): _*)))
+        }.toMap)
+      val langs = markers.map(_._1)
+      val guess = langs.init.zipWithIndex.foldRight(
+          lit(langs.last): Column) { case ((l, i), elseCol) =>
+        val ge = langs.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(ge, lit(l)).otherwise(elseCol)
+      }
+      scored.withColumn("lang_guess", guess)
+        .withColumn("correct",
+          (col("lang_guess") === col("lang")).cast("int"))
+        .select("doc_id", "lang_guess", "correct")
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length score + stopword ratio + type-token ratio.
+    "quality_score" -> ((s, dir) => {
+      val ws = words(col("text"))
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(ws))
+        .withColumn("n_uniq", size(array_distinct(ws)))
+        .withColumn("n_stop", size(filter(ws,
+          w => stopwords.map(sw => w === sw).reduce(_ || _))))
+        .withColumn("ttr", col("n_uniq") / col("n_tokens"))
+        .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+        .withColumn("len_score", least(lit(1.0), col("n_tokens") / 50.0))
+        .withColumn("quality",
+          lit(0.4) * col("len_score") + lit(0.3) * (lit(1) - col("stop_ratio"))
+            + lit(0.3) * col("ttr"))
+        .select("doc_id", "n_tokens", "ttr", "stop_ratio", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // Polynomial rolling hash over characters (document fingerprint).
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // MinHash signatures + LSH banding (long format: one row per band).
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = array_distinct(shingles(words(col("text")), 3))
+      val sig = t(s, dir, "documents")
+        .withColumn("sh", sh)
+        .select(col("doc_id") +:
+          minhashSeeds.map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
+      val bandArr = array((0 until 4).map(b =>
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)
+      sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_key")))
+        .orderBy("doc_id", "band_idx")
+    }),
+
+    // Candidate pairs sharing any LSH band, confirmed by exact Jaccard.
+    // The band join bounds the candidate set — no all-pairs product.
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("sh", array_distinct(shingles(words(col("text")), 3)))
+      val sig = docs.select(col("doc_id") +:
+        minhashSeeds.map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
+      val bandArr = array((0 until 4).map(b =>
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)
+      val bands = sig.select(col("doc_id"),
+        posexplode(bandArr).as(Seq("band_idx", "band_key")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val sa = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      val sb = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("jacc", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jacc") >= 0.5)
+        .select("a_id", "b_id", "jacc")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // 16-bit SimHash from md5-nibble bits of distinct words.
+    "dedup_simhash" -> ((s, dir) => {
+      val exploded = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(words(col("text")))).as("wd"))
+        .withColumn("hh", md5(col("wd")))
+      val withNibs = (1 to 4).foldLeft(exploded) { (df, p) =>
+        df.withColumn(s"n$p", md5Nibble(col("hh"), p))
+      }
+      val sums = withNibs.groupBy("doc_id").agg(
+        (0 until 16).map { i =>
+          sum(shiftright(col(s"n${i / 4 + 1}"), i % 4)
+            .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
+        }.head, (0 until 16).map { i =>
+          sum(shiftright(col(s"n${i / 4 + 1}"), i % 4)
+            .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
+        }.tail: _*)
+      sums.withColumn("simhash",
+          (0 until 16).map(i =>
+            when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup pairs, blocked by (lang, source) so the
+    // pair count stays ~(block size)^2 * #blocks, not n^2.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("sh", array_distinct(shingles(words(col("text")), 3)))
+        .select("doc_id", "lang", "source", "sh")
+      docs.as("a").join(docs.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jacc", jaccard(col("a.sh"), col("b.sh")))
+        .filter(col("jacc") >= 0.02)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("jacc"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Brute-force cosine top-k for a single probe vector (ANN baseline).
+    "similarity_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe")))
+      e.crossJoin(probe)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (dotD(col("embedding"), col("pe")) /
+            (normD(col("embedding")) * normD(col("pe")))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // kNN join: top-5 neighbors for each of the first 20 probes — the
+    // broadcast-probes pattern that scales to many queries at once.
+    "similarity_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = broadcast(e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      e.crossJoin(probes)
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          (dotD(col("embedding"), col("pe")) /
+            (normD(col("embedding")) * normD(col("pe")))).as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("probe_id", "rnk", "neighbor_id", "sim")
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Near-dup pairs above a cosine threshold — small-n exact baseline
+    // (the LSH-bucketed variant below is the at-scale path).
+    "similarity_self_join_dedup" -> ((s, dir) => {
+      val n = withNorm(t(s, dir, "embeddings"))
+      val a = n.select(col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim",
+          simExpr(col("ea"), col("eb"), col("na"), col("nb")))
+        .filter(col("sim") > 0.35)
+        .select("a_id", "b_id", "sim")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Sign-LSH-bucketed near-dup self-join: pairs only within a 4-bit
+    // sign bucket (16-way partition of the space) — the join that
+    // survives 100×, unlike the exact all-pairs product.
+    "similarity_lsh_bucketed" -> ((s, dir) => {
+      val n = withNorm(t(s, dir, "embeddings"))
+        .withColumn("bucket", signBucket(col("embedding"), lshDims))
+      val a = n.select(col("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("bucket").as("bucket_b"),
+        col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(b, col("bucket") === col("bucket_b") &&
+          col("a_id") < col("b_id"))
+        .withColumn("sim",
+          simExpr(col("ea"), col("eb"), col("na"), col("nb")))
+        .filter(col("sim") > 0.3)
+        .select("bucket", "a_id", "b_id", "sim")
+        .orderBy("bucket", "a_id", "b_id")
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata. The
+    // synthetic corpus has no real media, so the "payload" is the utf-8
+    // encoding of the text; schema/partitioning/metadata extraction is
+    // the real, tested part (decode stubs live in multimodal/).
+    "multimodal_binary_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          md5(col("text")).as("payload_md5"),
+          ascii(substring(col("text"), 1, 1)).as("first_byte"))
+        .orderBy("doc_id")),
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL
+  // ---------------------------------------------------------------------
+
+  /** Distinct word-3-gram shingles per doc (DuckDB list comprehension). */
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |      for i in range(1, len(ws)-1)]) AS s
+      |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS ws
+      |        FROM documents)
+      |)""".stripMargin
+
+  private def mhCols: String = minhashSeeds.map(j =>
+    s"list_min(list_transform(s, x -> md5('$j:' || x))) AS mh$j")
+    .mkString(",\n    ")
+
+  private val bandsCte =
+    s"""WITH $shinglesCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mhCols
+       |  FROM sh
+       |),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+       |)""".stripMargin
+
+  /** Exact double dot product of two FLOAT[] columns, left-to-right. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def simSql(a: String, b: String, na: String, nb: String): String =
+    s"${dotSql(a, b)} / ($na * $nb)"
+
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private def markerList(l: String): String =
+    markers.toMap.apply(l).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  SUM(n_chars) AS total_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+        |    AS n_uniq_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT)
+        |    AS n_alpha_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val scores = markers.map { case (l, _) =>
+        s"len(list_intersect(uniq, ${markerList(l)})) AS s_$l"
+      }.mkString(",\n    ")
+      val langs = markers.map(_._1)
+      val guess = langs.init.zipWithIndex.reverse.foldLeft(s"'${langs.last}'") {
+        case (elseSql, (l, i)) =>
+          val ge = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"CASE WHEN $ge THEN '$l' ELSE $elseSql END"
+      }
+      s"""WITH u AS (
+         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS uniq
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, lang,
+         |    $scores
+         |  FROM u
+         |), g AS (
+         |  SELECT doc_id, lang, $guess AS lang_guess FROM sc
+         |)
+         |SELECT doc_id, lang_guess,
+         |  CASE WHEN lang_guess = lang THEN 1 ELSE 0 END AS correct
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "quality_score" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_tokens,
+        |    len(list_distinct(ws)) AS n_uniq,
+        |    len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS n_stop
+        |  FROM b
+        |)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  n_uniq / n_tokens AS ttr,
+        |  n_stop / n_tokens AS stop_ratio,
+        |  0.4 * least(1.0, n_tokens / 50.0)
+        |    + 0.3 * (1 - n_stop / n_tokens)
+        |    + 0.3 * (n_uniq / n_tokens) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    [CAST(0 AS BIGINT)] ||
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$bandsCte
+         |SELECT doc_id, band_idx, band_key FROM bands
+         |ORDER BY doc_id, band_idx""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id
+         |)
+         |SELECT a_id, b_id,
+         |  len(list_intersect(sa.s, sb.s)) /
+         |    len(list_distinct(sa.s || sb.s)) AS jacc
+         |FROM cand
+         |JOIN sh sa ON sa.doc_id = a_id
+         |JOIN sh sb ON sb.doc_id = b_id
+         |WHERE len(list_intersect(sa.s, sb.s)) /
+         |  len(list_distinct(sa.s || sb.s)) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash" -> {
+      val nibs = (1 to 4).map(p =>
+        s"strpos('0123456789abcdef', substring(hh, $p, 1)) - 1 AS n$p")
+        .mkString(",\n    ")
+      val sums = (0 until 16).map(i =>
+        s"SUM((((n${i / 4 + 1} >> ${i % 4}) & 1) * 2 - 1)) AS s$i")
+        .mkString(",\n    ")
+      val hash = (0 until 16).map(i =>
+        s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS wd
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, md5(wd) AS hh FROM w
+         |), n AS (
+         |  SELECT doc_id,
+         |    $nibs
+         |  FROM h
+         |), sums AS (
+         |  SELECT doc_id,
+         |    $sums
+         |  FROM n GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST($hash AS BIGINT) AS simhash
+         |FROM sums ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.s, b.s)) /
+         |    len(list_distinct(a.s || b.s)) AS jacc
+         |FROM sh a JOIN sh b
+         |  ON a.lang = b.lang AND a.source = b.source
+         |  AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) /
+         |  len(list_distinct(a.s || b.s)) >= 0.02
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "similarity_topk" ->
+      s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  ${simSql("embedding", "pe", normSql("embedding"), normSql("pe"))}
+         |    AS sim
+         |FROM embeddings, p WHERE vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "similarity_knn_join" ->
+      s"""WITH pr AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |  WHERE vec_id < 20
+         |), s AS (
+         |  SELECT probe_id, vec_id AS neighbor_id,
+         |    ${simSql("embedding", "pe", normSql("embedding"), normSql("pe"))}
+         |      AS sim
+         |  FROM embeddings, pr WHERE vec_id <> probe_id
+         |), r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rnk
+         |  FROM s
+         |)
+         |SELECT probe_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 5
+         |ORDER BY probe_id, rnk""".stripMargin,
+
+    "similarity_self_join_dedup" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} > 0.35
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "similarity_lsh_bucketed" -> {
+      val bucket = lshDims.zipWithIndex.map { case (d, j) =>
+        s"(CASE WHEN embedding[$d] > 0 THEN ${1 << (lshDims.length - 1 - j)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+         |    $bucket AS bucket
+         |  FROM embeddings
+         |)
+         |SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS sim
+         |FROM n a JOIN n b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} > 0.3
+         |ORDER BY a.bucket, a_id, b_id""".stripMargin
+    },
+
+    "multimodal_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
