@@ -1,0 +1,205 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Heavy-loop text expressions for the dedup operators.
+  *
+  * Semantics are IDENTICAL to the declarative formulations they replace
+  * (and to the DuckDB oracle); these exist because the built-in
+  * higher-order functions run an interpreted lambda per element and md5()
+  * builds a fresh MessageDigest per call — ~70x slower on the
+  * 3.9M-element MinHash workload. One eval call here amortizes the digest
+  * and avoids per-element expression-tree evaluation, which is the
+  * difference between a shingle pass that scales and one that doesn't.
+  * (CodegenFallback is fine: all the work is inside a single eval.)
+  */
+object TextExpressions {
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private[expressions] def hex(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    out
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash_bands",
+      exprs => MinhashBandKeys(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_array_intersect_size",
+      exprs => ArrayIntersectSize(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => ShingleArray(exprs.head), "built-in")
+  }
+}
+
+/** Distinct word n-gram shingles straight from the text — equivalent to
+  * array_distinct(transform(sequence(0, size(w)-n), i ->
+  * concat_ws(' ', slice(w, i+1, n)))) over split(text, ' '), and to the
+  * oracle's list_distinct([array_to_string(ws[i:i+2],' ') for i in ...]).
+  * First-occurrence order preserved (LinkedHashSet), same as
+  * array_distinct. Fewer than n words -> empty array.
+  */
+case class ShingleArray(child: Expression, n: Int = 3)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    val ws = text.split(UTF8String.fromString(" "), -1)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= ws.length - n) {
+      var g = ws(i)
+      var k = 1
+      while (k < n) {
+        g = UTF8String.concat(g, sep, ws(i + k))
+        k += 1
+      }
+      out.add(g)
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** All MinHash band keys of a shingle array in one pass.
+  *
+  * For j in 0..7:  mh_j = min over shingles s of md5("<j>:" + s) (hex).
+  * For b in 0..3:  band_b = md5(hex(mh_2b) || hex(mh_2b+1)) (hex).
+  *
+  * Equivalent one-md5-expression-per-element formulation:
+  *   array_min(transform(sh, s => md5(concat(lit(j + ":"), s))))
+  * and DuckDB: list_min(list_transform(s, x -> md5('j:' || x))).
+  * Lexicographic min of fixed-width lowercase hex == unsigned byte-wise
+  * min of the raw digests, so only winners get hex-encoded.
+  */
+case class MinhashBandKeys(child: Expression,
+    numHashes: Int = 8, bandSize: Int = 2)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(numHashes)(j => s"$j:".getBytes("UTF-8"))
+    val mins = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val sBytes = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < numHashes) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(sBytes)
+          val d = md.digest()
+          if (mins(j) == null ||
+              java.util.Arrays.compareUnsigned(d, mins(j)) < 0) {
+            mins(j) = d
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val numBands = numHashes / bandSize
+    val bands = new Array[Any](numBands)
+    var b = 0
+    while (b < numBands) {
+      md.reset()
+      var k = 0
+      while (k < bandSize) {
+        md.update(TextExpressions.hex(mins(b * bandSize + k)))
+        k += 1
+      }
+      bands(b) = UTF8String.fromBytes(TextExpressions.hex(md.digest()))
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** |A ∩ B| over string arrays, counting distinct common elements — the
+  * value of size(array_intersect(a, b)) without materializing the
+  * intersection array. DuckDB mirror: len(list_intersect(a, b)).
+  */
+case class ArrayIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> arguments")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    // build the set from the smaller side
+    val (small, large) =
+      if (xa.numElements() <= xb.numElements()) (xa, xb) else (xb, xa)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) {
+      if (!small.isNullAt(i)) set.add(small.getUTF8String(i))
+      i += 1
+    }
+    var count = 0
+    i = 0
+    while (i < large.numElements()) {
+      // remove => each common element counted once even with duplicates
+      if (!large.isNullAt(i) && set.remove(large.getUTF8String(i))) count += 1
+      i += 1
+    }
+    count
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -14,8 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Left-to-right double dot product of two float arrays. */
+  /** Left-to-right double dot product of two float arrays, via the
+    * codegen'd VectorDotProduct expression (requires
+    * VectorExpressions.register(spark) — PipelineQueries does this).
+    * Bitwise-identical to the interpreted fold in [[dotFold]].
+    */
   def dotD(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.vecDot(a, b)
+
+  /** Interpreted reference implementation of [[dotD]] using only built-in
+    * higher-order functions — kept for equivalence testing.
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

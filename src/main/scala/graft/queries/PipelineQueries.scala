@@ -22,8 +22,29 @@ import graft.functions.VectorFunctions._
   */
 object PipelineQueries {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    graft.expressions.TextExpressions.register(s)
     Tables(s, dir, n)
+  }
+
+  /** 4 LSH band keys from the shingle set (codegen'd one-pass MinHash). */
+  private def bandKeys(sh: Column): Column =
+    call_function("graft_minhash_bands", sh)
+
+  private def interSize(a: Column, b: Column): Column =
+    call_function("graft_array_intersect_size", a, b)
+
+  /** documents/embeddings are small single-file parquets — one scan
+    * partition, so expression-heavy transforms (md5 shingling, folds)
+    * would run on ONE core. Spread them across the cluster first; the
+    * shuffle of a few thousand rows is noise next to the per-row work.
+    * At 100 TB the scan arrives already partitioned and this is a no-op
+    * cost-wise (AQE coalesces), but the intent — parallelize CPU-bound
+    * row work — is the same.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
 
   /** Language marker words (from the synthetic 31-word vocabulary) used by
     * the n-gram-heuristic language ID. Arbitrary but fixed; the oracle SQL
@@ -126,44 +147,47 @@ object PipelineQueries {
 
     // Polynomial rolling hash over characters (document fingerprint).
     "doc_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
+      spread(s, t(s, dir, "documents"))
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
     // MinHash signatures + LSH banding (long format: one row per band).
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val sh = array_distinct(shingles(words(col("text")), 3))
-      val sig = t(s, dir, "documents")
+      val sh = call_function("graft_shingles", col("text"))
+      spread(s, t(s, dir, "documents"))
         .withColumn("sh", sh)
-        .select(col("doc_id") +:
-          minhashSeeds.map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
-      val bandArr = array((0 until 4).map(b =>
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)
-      sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_key")))
+        .select(col("doc_id"),
+          posexplode(bandKeys(col("sh"))).as(Seq("band_idx", "band_key")))
         .orderBy("doc_id", "band_idx")
     }),
 
     // Candidate pairs sharing any LSH band, confirmed by exact Jaccard.
     // The band join bounds the candidate set — no all-pairs product.
     "dedup_minhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("sh", array_distinct(shingles(words(col("text")), 3)))
-      val sig = docs.select(col("doc_id") +:
-        minhashSeeds.map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
-      val bandArr = array((0 until 4).map(b =>
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)
-      val bands = sig.select(col("doc_id"),
-        posexplode(bandArr).as(Seq("band_idx", "band_key")))
-      val cand = bands.as("a").join(bands.as("b"),
+      // Shingles ride along through the band explode so candidate pairs
+      // arrive with both shingle sets attached — no second join back to
+      // the documents, and the identical a/b subplans share one shuffle
+      // via ReusedExchange.
+      // hint("merge"): a broadcast self-join would evaluate the MinHash
+      // subtree twice (build + probe); SMJ shuffles both sides through
+      // the identical exchange, which Spark dedupes via ReusedExchange —
+      // one MinHash pass total.
+      val bands = spread(s, t(s, dir, "documents"))
+        .withColumn("sh", call_function("graft_shingles", col("text")))
+        .select(col("doc_id"), col("sh"),
+          posexplode(bandKeys(col("sh"))).as(Seq("band_idx", "band_key")))
+        .hint("merge")
+      bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      val sa = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-      val sb = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
-      cand.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("jacc", jaccard(col("sh_a"), col("sh_b")))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+        .dropDuplicates("a_id", "b_id")
+        // |A∪B| = |A|+|B|-|A∩B|: one set op per pair instead of two
+        .withColumn("inter", interSize(col("sh_a"), col("sh_b")))
+        .withColumn("jacc", col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
         .filter(col("jacc") >= 0.5)
         .select("a_id", "b_id", "jacc")
         .orderBy("a_id", "b_id")
@@ -171,7 +195,7 @@ object PipelineQueries {
 
     // 16-bit SimHash from md5-nibble bits of distinct words.
     "dedup_simhash" -> ((s, dir) => {
-      val exploded = t(s, dir, "documents")
+      val exploded = spread(s, t(s, dir, "documents"))
         .select(col("doc_id"),
           explode(array_distinct(words(col("text")))).as("wd"))
         .withColumn("hh", md5(col("wd")))
@@ -197,14 +221,20 @@ object PipelineQueries {
     // n-gram Jaccard near-dup pairs, blocked by (lang, source) so the
     // pair count stays ~(block size)^2 * #blocks, not n^2.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("sh", array_distinct(shingles(words(col("text")), 3)))
+      // merge hint: broadcasting the shingled side would build it
+      // single-threaded on the driver; SMJ keeps both sides parallel and
+      // dedupes the identical subplans into one shuffle.
+      val docs = spread(s, t(s, dir, "documents"))
+        .withColumn("sh", call_function("graft_shingles", col("text")))
         .select("doc_id", "lang", "source", "sh")
+        .hint("merge")
       docs.as("a").join(docs.as("b"),
           col("a.lang") === col("b.lang") &&
           col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jacc", jaccard(col("a.sh"), col("b.sh")))
+        .withColumn("inter", interSize(col("a.sh"), col("b.sh")))
+        .withColumn("jacc", col("inter") /
+          (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
         .filter(col("jacc") >= 0.02)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("jacc"))
@@ -429,15 +459,17 @@ object PipelineQueries {
          |  FROM bands a JOIN bands b
          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |    AND a.doc_id < b.doc_id
+         |),
+         |j AS (
+         |  SELECT a_id, b_id,
+         |    len(list_intersect(sa.s, sb.s)) AS inter,
+         |    len(sa.s) AS la, len(sb.s) AS lb
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = a_id
+         |  JOIN sh sb ON sb.doc_id = b_id
          |)
-         |SELECT a_id, b_id,
-         |  len(list_intersect(sa.s, sb.s)) /
-         |    len(list_distinct(sa.s || sb.s)) AS jacc
-         |FROM cand
-         |JOIN sh sa ON sa.doc_id = a_id
-         |JOIN sh sb ON sb.doc_id = b_id
-         |WHERE len(list_intersect(sa.s, sb.s)) /
-         |  len(list_distinct(sa.s || sb.s)) >= 0.5
+         |SELECT a_id, b_id, inter / (la + lb - inter) AS jacc
+         |FROM j WHERE inter / (la + lb - inter) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_simhash" -> {
@@ -468,15 +500,17 @@ object PipelineQueries {
     },
 
     "dedup_ngram_jaccard" ->
-      s"""WITH $shinglesCte
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  len(list_intersect(a.s, b.s)) /
-         |    len(list_distinct(a.s || b.s)) AS jacc
-         |FROM sh a JOIN sh b
-         |  ON a.lang = b.lang AND a.source = b.source
-         |  AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.s, b.s)) /
-         |  len(list_distinct(a.s || b.s)) >= 0.02
+      s"""WITH $shinglesCte,
+         |j AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_intersect(a.s, b.s)) AS inter,
+         |    len(a.s) AS la, len(b.s) AS lb
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source
+         |    AND a.doc_id < b.doc_id
+         |)
+         |SELECT a_id, b_id, inter / (la + lb - inter) AS jacc
+         |FROM j WHERE inter / (la + lb - inter) >= 0.02
          |ORDER BY a_id, b_id""".stripMargin,
 
     "similarity_topk" ->
