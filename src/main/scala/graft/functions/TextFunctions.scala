@@ -19,8 +19,12 @@ object TextFunctions {
     * slice() is 1-based; i ranges over 0..size-n, yielding size-n+1 grams.
     */
   def shingles(ws: Column, n: Int): Column =
-    transform(sequence(lit(0), size(ws) - n),
-      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+    // guard: sequence(0, size-n) counts DOWN when size < n (Spark infers
+    // a negative step), producing invalid slice starts — short docs get
+    // an empty shingle set instead
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
 
   /** One MinHash value: min over shingles of md5(seed ":" shingle).
     * Fixed-width lowercase hex means lexicographic min == numeric min,

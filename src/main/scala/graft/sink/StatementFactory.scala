@@ -1,0 +1,57 @@
+package graft.sink
+
+/** SQL statement templates for the ClickHouse-style sink, reproducing the
+  * reference generator byte for byte
+  * (CH/table/internal/ClickHouseStatementFactory.java:11-118):
+  * batch INSERT with positional placeholders, mutation-style
+  * ALTER TABLE ... UPDATE / DELETE with optional ON CLUSTER, a row-exists
+  * probe, and backtick identifier quoting. Note the reference quirk kept
+  * intact: the collapsing/replacing insert variants are identical to the
+  * plain insert — the sign/version column simply rides in fieldNames
+  * (ClickHouseStatementFactory.java:27-59).
+  */
+object StatementFactory {
+
+  def quoteIdentifier(id: String): String = s"`$id`"
+
+  def insertInto(tableName: String, fieldNames: Seq[String]): String = {
+    val columns = fieldNames.map(quoteIdentifier).mkString(", ")
+    val placeholders = fieldNames.map(_ => "?").mkString(", ")
+    s"INSERT INTO ${quoteIdentifier(tableName)}($columns) VALUES ($placeholders)"
+  }
+
+  /** Identical to [[insertInto]] by design (see object scaladoc). */
+  def collapsingInsert(tableName: String, fieldNames: Seq[String]): String =
+    insertInto(tableName, fieldNames)
+
+  /** Identical to [[insertInto]] by design (see object scaladoc). */
+  def replacingInsert(tableName: String, fieldNames: Seq[String]): String =
+    insertInto(tableName, fieldNames)
+
+  def update(tableName: String, fieldNames: Seq[String],
+      conditionFields: Seq[String], clusterName: Option[String]): String = {
+    val setClause = fieldNames.filterNot(conditionFields.contains)
+      .map(f => s"${quoteIdentifier(f)}=?").mkString(", ")
+    val cond = conditionFields.map(f => s"${quoteIdentifier(f)}=?")
+      .mkString(" AND ")
+    s"ALTER TABLE ${quoteIdentifier(tableName)}${onCluster(clusterName)}" +
+      s" UPDATE $setClause WHERE $cond"
+  }
+
+  def delete(tableName: String, conditionFields: Seq[String],
+      clusterName: Option[String]): String = {
+    val cond = conditionFields.map(f => s"${quoteIdentifier(f)}=?")
+      .mkString(" AND ")
+    s"ALTER TABLE ${quoteIdentifier(tableName)}${onCluster(clusterName)}" +
+      s" DELETE WHERE $cond"
+  }
+
+  def rowExists(tableName: String, conditionFields: Seq[String]): String = {
+    val cond = conditionFields.map(f => s"${quoteIdentifier(f)}=?")
+      .mkString(" AND ")
+    s"SELECT 1 FROM ${quoteIdentifier(tableName)} WHERE $cond"
+  }
+
+  private def onCluster(clusterName: Option[String]): String =
+    clusterName.map(c => s" ON CLUSTER ${quoteIdentifier(c)}").getOrElse("")
+}

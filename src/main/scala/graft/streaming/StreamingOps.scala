@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.sink.{ClickHouseStyleWriter, GraftSinkOptions, StatementExecutor}
+
+/** Structured Streaming parity for the reference's sink semantics
+  * (SURVEY.md §2b streaming tail). The reference couples a count trigger
+  * (sink.batch-size) with a private wait/notify flusher thread waking
+  * every sink.flush-interval (ClickHouseBatchExecutor.java:82-123); in
+  * Spark the micro-batch boundary IS the time trigger
+  * (Trigger.ProcessingTime), and the count trigger lives in the
+  * per-partition writer — same delivery contract, engine-managed.
+  */
+object StreamingOps {
+
+  /** stream_append_sink / stream_count_time_trigger: a changelog stream
+    * written through the full sink path on every micro-batch; the trigger
+    * interval carries the reference's flush-interval semantics.
+    */
+  def changelogSink(stream: DataFrame, options: GraftSinkOptions,
+      primaryKey: Seq[String], numShards: Int,
+      executorFactory: Int => StatementExecutor): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(options.flushInterval.toMillis))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ClickHouseStyleWriter.write(
+          batch, options, primaryKey, numShards, executorFactory)
+      }
+
+  /** stream_tumbling_watermark: event-time tumbling window counts with a
+    * watermark bounding state; late rows beyond the watermark are dropped
+    * (stream_late_data_drop).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, watermark: String,
+      window_ : String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** stream_dedup_state: stateful exact dedup on a key with watermarked
+    * state eviction — the streaming analog of ReplacingMergeTree's
+    * "first write wins within the state horizon" (R11).
+    */
+  def dedupByKey(events: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** stream_update_sink: session-window event counts per user emitted in
+    * update mode — the retract/upsert-producing aggregation shape the
+    * reference's README feeds into the sink (README.md:6-11).
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String,
+      gap: String, keyCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("n_events"))
+}

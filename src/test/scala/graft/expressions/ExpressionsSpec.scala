@@ -1,0 +1,100 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/** The custom expressions exist purely for speed; each must be
+  * bit-identical to the declarative built-in formulation it replaced
+  * (which is also what the DuckDB oracle mirrors).
+  */
+class ExpressionsSpec extends AnyFunSuite with SparkSuite {
+
+  test("VectorDotProduct == interpreted zip_with/aggregate fold, bitwise") {
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(50)(
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1),
+       Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.map { case (a, b) => (a.toSeq, b.toSeq) }.toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dotD(col("a"), col("b")).as("fast"),
+      VectorFunctions.dotFold(col("a"), col("b")).as("ref")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("VectorDotProduct rejects non-float-array input") {
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    assertThrows[Exception](
+      df.select(VectorExpressions.vecDot(col("a"), col("b"))).collect())
+  }
+
+  test("ShingleArray == array_distinct(transform(...slice...))") {
+    TextExpressions.register(spark)
+    import spark.implicits._
+    val texts = Seq(
+      "the fast key order sort table scan merge",
+      "a b c",      // exactly n words -> 1 shingle
+      "a b",        // fewer than n -> empty
+      "x x x x x")  // duplicate shingles -> distinct
+    val df = texts.toDF("text")
+    val rows = df.select(
+      call_function("graft_shingles", col("text")).as("fast"),
+      array_distinct(TextFunctions.shingles(
+        TextFunctions.words(col("text")), 3)).as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("MinhashBandKeys == declarative md5 min + band md5 formulation") {
+    TextExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq("the fast key order sort table scan merge part window")
+      .toDF("text")
+      .withColumn("sh", call_function("graft_shingles", col("text")))
+    val declared = array((0 until 4).map { b =>
+      md5(concat(
+        TextFunctions.minhash(col("sh"), 2 * b),
+        TextFunctions.minhash(col("sh"), 2 * b + 1)))
+    }: _*)
+    val r = df.select(
+      call_function("graft_minhash_bands", col("sh")).as("fast"),
+      declared.as("ref")).collect().head
+    assert(r.getSeq[String](0) == r.getSeq[String](1))
+  }
+
+  test("ArrayIntersectSize == size(array_intersect)") {
+    TextExpressions.register(spark)
+    import spark.implicits._
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("x")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("a", "a", "b"), Seq("a", "b", "b"))) // dups counted once
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_array_intersect_size", col("a"), col("b"))
+        .as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("fingerprint matches a hand-rolled polynomial hash") {
+    import spark.implicits._
+    val text = "ab c"
+    val expected = text.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    val got = Seq(text).toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).collect().head.getLong(0)
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.sink.{CollectingSink, GraftSinkOptions}
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+/** Streaming parity (SURVEY.md §2b tail): MemoryStream-driven checks of
+  * watermarked windows, late-data drop, stateful dedup, and the
+  * foreachBatch sink adapter.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  /** Runs each feed step as its own micro-batch (processAllAvailable in
+    * between) — without the barrier, MemoryStream folds every addData
+    * into one batch and the watermark never advances mid-test.
+    */
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+      name: String, mode: String)(feed: (() => Unit)*): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      feed.foreach { step => step(); q.processAllAvailable() }
+    } finally q.stop()
+  }
+
+  test("stream_tumbling_watermark: windowed counts emitted on close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val agg = StreamingOps.tumblingCounts(mem.toDF(), "ts",
+      watermark = "10 minutes", window_ = "5 minutes")
+    runToMemory(agg, "tumbling_out", "append")(
+      () => mem.addData(Ev(1, ts(1), 1, 1.0), Ev(2, ts(3), 1, 1.0),
+        Ev(3, ts(7), 2, 1.0)),
+      // advance event time far enough to close the earlier windows
+      () => mem.addData(Ev(4, ts(40), 1, 1.0)))
+    val got = spark.table("tumbling_out")
+      .orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    assert(got.toSeq == Seq(("2024-01-01 10:00:00.0", 2L),
+      ("2024-01-01 10:05:00.0", 1L)))
+  }
+
+  test("stream_late_data_drop: rows behind the watermark are discarded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val agg = StreamingOps.tumblingCounts(mem.toDF(), "ts",
+      watermark = "5 minutes", window_ = "5 minutes")
+    runToMemory(agg, "late_out", "append")(
+      () => mem.addData(Ev(1, ts(1), 1, 1.0)),
+      () => mem.addData(Ev(2, ts(45), 1, 1.0)), // watermark -> 10:40
+      () => mem.addData(Ev(3, ts(2), 1, 1.0)),  // late: dropped
+      () => mem.addData(Ev(4, ts(55), 1, 1.0))) // flush remaining windows
+    val n0 = spark.table("late_out")
+      .filter(col("window_start") === ts(0)).select("n")
+      .collect().map(_.getLong(0))
+    assert(n0.toSeq == Seq(1L)) // the late row did not bump the count
+  }
+
+  test("stream_dedup_state: duplicate (key, ts) delivered twice counts once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val dedup = StreamingOps.dedupByKey(mem.toDF(), "ts", "10 minutes",
+      Seq("event_id"))
+    runToMemory(dedup, "dedup_out", "append")(
+      () => mem.addData(Ev(1, ts(1), 1, 1.0), Ev(1, ts(1), 1, 1.0)),
+      () => mem.addData(Ev(1, ts(1), 1, 1.0)), // dup across batches
+      () => mem.addData(Ev(2, ts(2), 1, 1.0)))
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("stream_append_sink: foreachBatch drives the buffered sink (R4/R9)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    CollectingSink.clear()
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "op", "value")
+    val opts = GraftSinkOptions.fromMap(Map(
+      "url" -> "clickhouse://localhost:8123", "table-name" -> "t",
+      "sink.batch-size" -> "2", "sink.flush-interval" -> "1s"))
+    val q = StreamingOps.changelogSink(df, opts,
+      primaryKey = Seq("user_id"), numShards = 1,
+      new CollectingSink.Exec(_)).start()
+    try {
+      mem.addData((1L, "I", 1.0), (2L, "D", 2.0), (3L, "+U", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = CollectingSink.all.flatMap(_._2)
+    // insert-only mode (no PK): the D row is dropped
+    assert(rows.map(_.getLong(0)).sorted == Seq(1L, 3L))
+  }
+
+  test("stream_update_sink: session-window counts (append on close)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val agg = StreamingOps.sessionCounts(mem.toDF(), "ts", "10 minutes",
+      gap = "5 minutes", keyCol = "user_id")
+    // Spark 4 supports session windows in append mode only: sessions
+    // emit when the watermark passes their close.
+    runToMemory(agg, "session_out", "append")(
+      () => mem.addData(Ev(1, ts(1), 7, 1.0), Ev(2, ts(3), 7, 1.0)),
+      () => mem.addData(Ev(3, ts(30), 7, 1.0)),
+      () => mem.addData(Ev(4, ts(55), 7, 1.0)))
+    val sessions = spark.table("session_out")
+      .orderBy("session_start").collect().map(_.getLong(2))
+    assert(sessions.take(2).toSeq == Seq(2L, 1L))
+  }
+}
