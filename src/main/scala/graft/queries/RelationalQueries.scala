@@ -287,6 +287,53 @@ object RelationalQueries {
           col("n"), col("sum_value"))
         .orderBy("window_start_ms")),
 
+    // Pivot: one column per priority bucket (explicit value list so the
+    // output schema is static), counts per order status.
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .na.fill(0L)
+        .withColumnsRenamed(Map("1-URGENT" -> "p1", "2-HIGH" -> "p2",
+          "3-MEDIUM" -> "p3", "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .orderBy("o_orderstatus")),
+
+    // Scalar subquery: orders above the global average price.
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_ss")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM graft_orders_ss
+          |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS
+          |  DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM graft_orders_ss)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Correlated subquery: each customer's count of above-their-own-average
+    // orders (decorrelated by Catalyst into a join + aggregate).
+    "q_correlated_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_cs")
+      s.sql(
+        """SELECT o1.o_custkey, COUNT(*) AS n_above
+          |FROM graft_orders_cs o1
+          |WHERE o1.o_totalprice > (
+          |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          |    AS DOUBLE) / COUNT(*)
+          |  FROM graft_orders_cs o2 WHERE o2.o_custkey = o1.o_custkey)
+          |GROUP BY o1.o_custkey
+          |ORDER BY o1.o_custkey""".stripMargin)
+    }),
+
+    // Exact median over an integer column: even-count interpolation
+    // (a+b)/2 is FP-exact for 52-bit ints, so engines agree bitwise.
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(median(col("n_chars")).as("median_chars"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")),
+
     // Session windows via gap detection (30 min), batch-expressed:
     // lag + cumulative boundary count — the standard sessionization idiom.
     "q_session_gap" -> ((s, dir) => {
@@ -509,6 +556,36 @@ object RelationalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM assigned GROUP BY window_start_ms
         |ORDER BY window_start_ms""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS
+        |  DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_correlated_subquery" ->
+      """SELECT o1.o_custkey, COUNT(*) AS n_above
+        |FROM orders o1
+        |WHERE o1.o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+        |GROUP BY o1.o_custkey
+        |ORDER BY o1.o_custkey""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT lang, median(n_chars) AS median_chars, COUNT(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_session_gap" ->
       """WITH g AS (
