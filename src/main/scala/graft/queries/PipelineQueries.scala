@@ -310,6 +310,47 @@ object PipelineQueries {
         .orderBy("bucket", "a_id", "b_id")
     }),
 
+    // IVF-style ANN: coarse quantization by label cell — centroid per
+    // cell, probe the top-nprobe nearest cells, exact-search only inside
+    // them. The centroid fold runs in explicit vec_id order so both
+    // engines produce bitwise-identical means.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe")))
+      val cents = e.groupBy("label").agg(
+          sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+            .as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("label"),
+          transform(sequence(lit(1), lit(64)), i =>
+            aggregate(col("vs"), lit(0.0), (acc, v) =>
+              acc + element_at(v.getField("embedding"), i).cast("double"))
+              / col("n")).as("c"))
+      val cellSims = cents.crossJoin(probe).select(col("label"),
+        (aggregate(zip_with(col("c"), col("pe"),
+            (x, y) => x * y.cast("double")), lit(0.0), (a, v) => a + v) /
+          (sqrt(aggregate(transform(col("c"), x => x * x), lit(0.0),
+            (a, v) => a + v)) *
+           sqrt(aggregate(zip_with(col("pe"), col("pe"),
+            (x, y) => x.cast("double") * y.cast("double")), lit(0.0),
+            (a, v) => a + v)))).as("csim"))
+      val topCells = broadcast(
+        cellSims.orderBy(col("csim").desc, col("label").asc).limit(2)
+          .select("label"))
+      val w = Window.orderBy(col("sim").desc, col("neighbor_id").asc)
+      withNorm(e).join(topCells, "label")
+        .crossJoin(probe)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("neighbor_id"),
+          (dotD(col("embedding"), col("pe")) /
+            (col("nrm") * sqrt(dotD(col("pe"), col("pe"))))).as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("rnk", "neighbor_id", "sim")
+        .orderBy("rnk")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // synthetic corpus has no real media, so the "payload" is the utf-8
     // encoding of the text; schema/partitioning/metadata extraction is
@@ -565,6 +606,43 @@ object PipelineQueries {
          |WHERE ${simSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} > 0.3
          |ORDER BY a.bucket, a_id, b_id""".stripMargin
     },
+
+    "ann_ivf_topk" ->
+      s"""WITH vs AS (
+         |  SELECT label, list(embedding ORDER BY vec_id) AS vs,
+         |    COUNT(*) AS n
+         |  FROM embeddings GROUP BY label
+         |), cent AS (
+         |  SELECT label,
+         |    [list_sum(list_transform(vs, v -> CAST(v[i] AS DOUBLE))) / n
+         |      FOR i IN range(1, 65)] AS c
+         |  FROM vs
+         |), p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |cs AS (
+         |  SELECT label,
+         |    list_sum(list_transform(range(1,65), i ->
+         |      c[i] * CAST(pe[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(range(1,65), i ->
+         |        c[i] * c[i])))
+         |      * sqrt(list_sum(list_transform(range(1,65), i ->
+         |        CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))))
+         |      AS csim
+         |  FROM cent, p
+         |), top_cells AS (
+         |  SELECT label FROM cs ORDER BY csim DESC, label ASC LIMIT 2
+         |), search AS (
+         |  SELECT e.vec_id AS neighbor_id,
+         |    ${dotSql("e.embedding", "pe")}
+         |    / (${normSql("e.embedding")} * ${normSql("pe")}) AS sim
+         |  FROM embeddings e, top_cells t, p
+         |  WHERE e.label = t.label AND e.vec_id <> 0
+         |), ranked AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id ASC)
+         |    AS rnk, neighbor_id, sim
+         |  FROM search
+         |)
+         |SELECT rnk, neighbor_id, sim FROM ranked WHERE rnk <= 5
+         |ORDER BY rnk""".stripMargin,
 
     "multimodal_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,

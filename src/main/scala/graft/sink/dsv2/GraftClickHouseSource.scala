@@ -1,0 +1,91 @@
+package graft.sink.dsv2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sink._
+
+/** DataSource V2 registration of the ClickHouse-style sink — the Spark
+  * analog of the reference's SPI-discovered table factory
+  * (META-INF/services/org.apache.flink.table.factories.Factory:16 and
+  * ClickHouseDynamicTableFactory.java:122-136):
+  *
+  *   df.write.format("clickhouse-style")
+  *     .option("url", ...).option("table-name", ...)
+  *     .option("primary-key", "k1,k2")        // <- Spark has no DDL PK;
+  *     .mode("append").save()                 //    carried as an option
+  *
+  * Option parsing/validation happens at write-builder time, like the
+  * reference's factory-time validate. The executor seam is selected by
+  * `graft.executor`: "jdbc" (default, JdbcStatementExecutor) or "memory"
+  * (MemorySinkRegistry — the offline/test endpoint).
+  */
+class GraftClickHouseSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "clickhouse-style"
+
+  /** Sink-only source: the table adopts the written DataFrame's schema
+    * (fixed, declared — no inference, mirroring the reference §1).
+    * supportsExternalMetadata routes that schema into getTable.
+    */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftClickHouseTable(schema, properties.asScala.toMap)
+}
+
+class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
+    extends Table with SupportsWrite {
+
+  override def name(): String =
+    s"clickhouse-style:${properties.getOrElse("table-name", "?")}"
+
+  override def schema(): StructType = schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // factory-time validation (R1): bad options fail the plan, not the job
+    val opts = GraftSinkOptions.fromMap(properties - "primary-key" -
+      "graft.executor")
+    val pk = properties.get("primary-key").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new GraftWriteBuilder(opts, pk,
+      properties.getOrElse("graft.executor", "jdbc"), info.schema())
+  }
+}
+
+class GraftWriteBuilder(options: GraftSinkOptions, pk: Seq[String],
+    executorKind: String, schema: StructType) extends WriteBuilder {
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(
+      options, pk, executorKind, schema)
+  }
+}
+
+class GraftBatchWrite(options: GraftSinkOptions, pk: Seq[String],
+    executorKind: String, schema: StructType) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftDataWriterFactory(options, pk, executorKind, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}

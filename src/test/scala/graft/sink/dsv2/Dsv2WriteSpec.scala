@@ -1,0 +1,58 @@
+package graft.sink.dsv2
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** The SPI-discovered write path: format("clickhouse-style") resolved via
+  * META-INF/services (the analog of the reference's factory discovery,
+  * ClickHouseDynamicTableFactory SPI registration).
+  */
+class Dsv2WriteSpec extends AnyFunSuite with SparkSuite {
+
+  test("format(clickhouse-style) writes through the buffered sink") {
+    MemorySinkRegistry.clear()
+    import spark.implicits._
+    val df = (1L to 25L).map(i => (i, s"name$i", i * 1.5))
+      .toDF("id", "name", "score")
+    df.coalesce(2).write.format("clickhouse-style")
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t_out")
+      .option("sink.batch-size", "10")
+      .option("graft.executor", "memory")
+      .mode("append").save()
+    val rows = MemorySinkRegistry.all.flatMap(_._2)
+    assert(rows.size == 25)
+    assert(rows.map(_.getLong(0)).sorted == (1L to 25L))
+    // count trigger honored inside partitions: no batch exceeds 10
+    assert(MemorySinkRegistry.all.forall(_._2.size <= 10))
+    // type conversion round-trip: external JVM types, not internal ones
+    assert(rows.head.get(1).isInstanceOf[String])
+  }
+
+  test("invalid options fail at planning time (factory validation)") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val e = intercept[Exception] {
+      df.write.format("clickhouse-style")
+        .option("url", "clickhouse://localhost:8123")
+        .option("table-name", "t")
+        .option("sink.partition-strategy", "bogus")
+        .option("graft.executor", "memory")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("bogus") ||
+      e.getCause != null && e.getCause.getMessage.contains("bogus"))
+  }
+
+  test("missing table-name rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "name")
+    assertThrows[Exception] {
+      df.write.format("clickhouse-style")
+        .option("url", "clickhouse://localhost:8123")
+        .option("graft.executor", "memory")
+        .mode("append").save()
+    }
+  }
+}
