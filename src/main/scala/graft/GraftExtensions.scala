@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions._
+
+/** Session-extension entry point: makes the graft expressions available in
+  * any session created with
+  *   spark.sql.extensions=graft.GraftExtensions
+  * or SparkSession.builder().withExtensions(new GraftExtensions) — the
+  * deployment-config analog of the reference's SPI factory discovery. The
+  * same expressions are also registered imperatively per session by
+  * VectorExpressions.register / TextExpressions.register.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_vec_dot"),
+      info("graft_vec_dot",
+        "_FUNC_(a, b) - double dot product of two float arrays"),
+      (exprs: Seq[Expression]) => VectorDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_shingles"),
+      info("graft_shingles",
+        "_FUNC_(text) - distinct word 3-gram shingles"),
+      (exprs: Seq[Expression]) => ShingleArray(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash_bands"),
+      info("graft_minhash_bands",
+        "_FUNC_(shingles) - 4 MinHash LSH band keys"),
+      (exprs: Seq[Expression]) => MinhashBandKeys(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_array_intersect_size"),
+      info("graft_array_intersect_size",
+        "_FUNC_(a, b) - |A intersect B| for string arrays"),
+      (exprs: Seq[Expression]) => ArrayIntersectSize(exprs(0), exprs(1))))
+  }
+}

@@ -15,6 +15,12 @@ import graft.sink.{ClickHouseStyleWriter, GraftSinkOptions, StatementExecutor}
   * (Trigger.ProcessingTime), and the count trigger lives in the
   * per-partition writer — same delivery contract, engine-managed.
   */
+/** One changelog record in the keyed-state stream. */
+case class ChangeRecord(key: Long, op: String, value: Double)
+
+/** Live collapsing net state for one key. */
+case class NetState(key: Long, net: Long)
+
 object StreamingOps {
 
   /** stream_append_sink / stream_count_time_trigger: a changelog stream
@@ -53,6 +59,31 @@ object StreamingOps {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
+
+  /** Custom keyed state: a live per-key collapsing net count maintained
+    * with flatMapGroupsWithState — the streaming materialization of the
+    * CollapsingMergeTree semantic (R10): state += sign(op) per record,
+    * emitting the running net on every update. This is what the
+    * ClickHouse server does at merge time, held as Spark operator state.
+    */
+  def collapsingNetStateStream(
+      changelog: org.apache.spark.sql.Dataset[ChangeRecord])
+      : org.apache.spark.sql.Dataset[NetState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = changelog.sparkSession
+    import spark.implicits._
+    changelog.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, NetState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, records: Iterator[ChangeRecord],
+         state: GroupState[Long]) =>
+          val delta = records.map(r =>
+            if (r.op == "I" || r.op == "+U") 1L else -1L).sum
+          val net = state.getOption.getOrElse(0L) + delta
+          state.update(net)
+          Iterator(NetState(key, net))
+      }
+  }
 
   /** stream_update_sink: session-window event counts per user emitted in
     * update mode — the retract/upsert-producing aggregation shape the

@@ -89,6 +89,26 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("registered expressions are reachable from SQL text") {
+    VectorExpressions.register(spark)
+    TextExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_vec_dot(array(cast(1.0 as float), cast(2.0 as float)),
+        |                     array(cast(3.0 as float), cast(4.0 as float)))
+        |  AS dot,
+        |  graft_array_intersect_size(array('a','b'), array('b','c')) AS i,
+        |  size(graft_shingles('a b c d')) AS ns""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 11.0 && r.getInt(1) == 1 && r.getInt(2) == 2)
+  }
+
+  test("GraftExtensions wires every expression into a fresh extension set") {
+    // config-driven path (spark.sql.extensions=graft.GraftExtensions);
+    // the imperative register() path is exercised everywhere else
+    new graft.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("fingerprint matches a hand-rolled polynomial hash") {
     import spark.implicits._
     val text = "ab c"

@@ -102,6 +102,22 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_.getLong(0)).sorted == Seq(1L, 3L))
   }
 
+  test("flatMapGroupsWithState: live collapsing net state per key (R10)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[ChangeRecord]
+    val net = StreamingOps.collapsingNetStateStream(mem.toDS())
+    runToMemory(net.toDF(), "net_out", "update")(
+      () => mem.addData(ChangeRecord(1, "I", 1.0), ChangeRecord(1, "+U", 2.0),
+        ChangeRecord(2, "I", 5.0)),
+      () => mem.addData(ChangeRecord(1, "-U", 1.0), ChangeRecord(2, "D", 5.0)))
+    // latest emission per key reflects cumulative state across batches
+    val latest = spark.table("net_out").groupBy("key")
+      .agg(org.apache.spark.sql.functions.min("net").as("net"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == Map(1L -> 1L, 2L -> 0L)) // key1: +1+1-1, key2: +1-1
+  }
+
   test("stream_update_sink: session-window counts (append on close)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
