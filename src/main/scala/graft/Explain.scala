@@ -16,6 +16,10 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing is byte-based; the near-dup block joins move few
+      // MB but carry quadratic per-pair CPU — without this floor they
+      // collapse to ONE partition and serialize (measured 5-18s vs <1s)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,6 +31,8 @@ object Explain {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"[explain] $n forced in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println("== final adaptive plan ==")
+      println(df.queryExecution.executedPlan.toString.take(4000))
     }
     spark.stop()
   }

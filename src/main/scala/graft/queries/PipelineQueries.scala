@@ -46,6 +46,17 @@ object PipelineQueries {
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** Optimization fence: Catalyst pushes a post-join threshold filter into
+    * the join condition, re-evaluating the expensive similarity/intersect
+    * expression up to 3x per candidate pair (once in the condition, once
+    * per projection). A nondeterministic projection blocks predicate
+    * pushdown (PushPredicateThroughNonJoin requires deterministic
+    * projects), so expressions below the fence are computed exactly once.
+    * The fence column is dropped immediately; results are unchanged.
+    */
+  private def fence(df: DataFrame): DataFrame =
+    df.withColumn("__fence", monotonically_increasing_id())
+
   /** Language marker words (from the synthetic 31-word vocabulary) used by
     * the n-gram-heuristic language ID. Arbitrary but fixed; the oracle SQL
     * interpolates the same lists.
@@ -235,6 +246,7 @@ object PipelineQueries {
         .withColumn("inter", interSize(col("a.sh"), col("b.sh")))
         .withColumn("jacc", col("inter") /
           (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
+        .transform(fence)
         .filter(col("jacc") >= 0.02)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("jacc"))
@@ -285,6 +297,7 @@ object PipelineQueries {
       a.join(b, col("a_id") < col("b_id"))
         .withColumn("sim",
           simExpr(col("ea"), col("eb"), col("na"), col("nb")))
+        .transform(fence)
         .filter(col("sim") > 0.35)
         .select("a_id", "b_id", "sim")
         .orderBy("a_id", "b_id")
@@ -305,6 +318,7 @@ object PipelineQueries {
           col("a_id") < col("b_id"))
         .withColumn("sim",
           simExpr(col("ea"), col("eb"), col("na"), col("nb")))
+        .transform(fence)
         .filter(col("sim") > 0.3)
         .select("bucket", "a_id", "b_id", "sim")
         .orderBy("bucket", "a_id", "b_id")
