@@ -287,6 +287,38 @@ object RelationalQueries {
           col("n"), col("sum_value"))
         .orderBy("window_start_ms")),
 
+    // JSON extraction from the events props payload, aggregated.
+    "q_json_funcs" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // Distribution window functions: quartile, percent rank, cume dist
+    // ((rank-1)/(n-1) and rank/n are exact int divisions in doubles).
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderstatus", "pct_rank", "o_orderkey")
+    }),
+
+    "q_union_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("ck"))
+        .union(t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("ck")))
+        .distinct()
+        .orderBy("ck")),
+
     // Pivot: one column per priority bucket (explicit value list so the
     // output schema is static), counts per order status.
     "q_pivot" -> ((s, dir) =>
@@ -556,6 +588,30 @@ object RelationalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM assigned GROUP BY window_start_ms
         |ORDER BY window_start_ms""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS DOUBLE) / COUNT(*) AS avg_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderstatus, pct_rank, o_orderkey""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY ck""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderstatus,
