@@ -173,28 +173,32 @@ object PipelineQueries {
     }),
 
     // Candidate pairs sharing any LSH band, confirmed by exact Jaccard.
-    // The band join bounds the candidate set — no all-pairs product.
+    // No self-join: group rows by band bucket and enumerate pairs inside
+    // each bucket — ONE MinHash pass, one shuffle, and the pair space is
+    // exactly the LSH candidate set (buckets are near-singletons unless
+    // documents really collide). This is the shape that survives scale:
+    // work is proportional to Σ bucket², never n².
     "dedup_minhash_pairs" -> ((s, dir) => {
-      // Shingles ride along through the band explode so candidate pairs
-      // arrive with both shingle sets attached — no second join back to
-      // the documents, and the identical a/b subplans share one shuffle
-      // via ReusedExchange.
-      // hint("merge"): a broadcast self-join would evaluate the MinHash
-      // subtree twice (build + probe); SMJ shuffles both sides through
-      // the identical exchange, which Spark dedupes via ReusedExchange —
-      // one MinHash pass total.
-      val bands = spread(s, t(s, dir, "documents"))
+      // Narrow band table (doc_id, band_idx, band_key — ~50 B/row) cached
+      // once: the MinHash pass runs exactly once, the self-join moves no
+      // shingle payloads, and the candidate set is tiny by construction.
+      val docs = spread(s, t(s, dir, "documents"))
         .withColumn("sh", call_function("graft_shingles", col("text")))
-        .select(col("doc_id"), col("sh"),
+      val bands = docs
+        .select(col("doc_id"),
           posexplode(bandKeys(col("sh"))).as(Seq("band_idx", "band_key")))
-        .hint("merge")
-      bands.as("a").join(bands.as("b"),
+        .cache()
+      val cand = bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-        .dropDuplicates("a_id", "b_id")
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val sa = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      val sb = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+      // broadcast the (tiny) candidate list so the shingled docs stream
+      // through both joins without shuffling their arrays
+      sa.join(broadcast(cand), "a_id").join(sb, "b_id")
         // |A∪B| = |A|+|B|-|A∩B|: one set op per pair instead of two
         .withColumn("inter", interSize(col("sh_a"), col("sh_b")))
         .withColumn("jacc", col("inter") /
