@@ -44,7 +44,43 @@ object TextExpressions {
       exprs => ArrayIntersectSize(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       exprs => ShingleArray(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_poly_hash",
+      exprs => StringPolyHash(exprs.head), "built-in")
   }
+}
+
+/** Polynomial rolling hash h = (h*31 + byte) % M over the utf-8 bytes of a
+  * string — identical to the character fold
+  * aggregate(split(text, ''), 0L, (h, c) -> (h*31 + ascii(c)) % M) for
+  * ASCII text (byte == codepoint), and to the oracle's
+  * list_reduce([0] || codes, ...). One eval per document instead of one
+  * interpreted lambda step per character.
+  */
+case class StringPolyHash(child: Expression, mod: Long = 1000000007L)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xff)) % mod
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Distinct word n-gram shingles straight from the text — same SET as

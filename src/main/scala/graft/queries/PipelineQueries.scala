@@ -156,10 +156,12 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // Polynomial rolling hash over characters (document fingerprint).
+    // Polynomial rolling hash over characters (document fingerprint);
+    // codegen'd one-pass byte fold, == the declarative char fold on ASCII.
     "doc_fingerprint" -> ((s, dir) =>
       spread(s, t(s, dir, "documents"))
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          call_function("graft_poly_hash", col("text")).as("fp"))
         .orderBy("doc_id")),
 
     // MinHash signatures + LSH banding (long format: one row per band).

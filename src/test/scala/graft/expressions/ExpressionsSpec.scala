@@ -119,4 +119,23 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
       .select(TextFunctions.fingerprint(col("text"))).collect().head.getLong(0)
     assert(got == expected)
   }
+
+  test("StringPolyHash == declarative char fold on ASCII text") {
+    TextExpressions.register(spark)
+    import spark.implicits._
+    val texts = Seq("the fast key order", "a", "", "x y z 123")
+    val rows = texts.toDF("text").select(
+      call_function("graft_poly_hash", col("text")).as("fast"),
+      TextFunctions.fingerprint(col("text")).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("ShardTopology parses explicit node lists") {
+    import graft.sink.{ShardNode, ShardTopology}
+    assert(ShardTopology.parse("h1:9000, h2:9001") ==
+      Seq(ShardNode(1, "h1", 9000), ShardNode(2, "h2", 9001)))
+    assert(ShardNode(1, "h1", 8123).jdbcUrl("db") ==
+      "jdbc:clickhouse://h1:8123/db")
+    assertThrows[IllegalArgumentException](ShardTopology.parse("h1"))
+  }
 }
