@@ -27,12 +27,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def force(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -45,11 +47,18 @@ object Bench {
     // min of two timed passes: JIT warm-up and GC pauses inflate single
     // local-mode measurements by up to 3x run-to-run; the min is the
     // stable signal the 2x-regression gate needs.
-    val results = names.map(n => n -> math.min(force(n), force(n)))
+    // a failed query must inflate the gated total, not shrink it — its
+    // near-zero wall time would otherwise mask breakage as a speedup
+    val Penalty = 600.0
+    val results = names.map { n =>
+      val t = math.min(force(n), force(n))
+      n -> (if (failed.contains(n)) Penalty else t)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -139,12 +139,17 @@ case class ShingleArray(child: Expression, n: Int = 3)
   * and DuckDB: list_min(list_transform(s, x -> md5('j:' || x))).
   * Lexicographic min of fixed-width lowercase hex == unsigned byte-wise
   * min of the raw digests, so only winners get hex-encoded.
+  *
+  * An empty shingle set yields all-null band keys — the same as the
+  * declarative form (array_min over empty -> null, md5(null) -> null) and
+  * the oracle; null keys never join (NULL = NULL is false in both
+  * engines), so shingle-less docs form no candidate pairs.
   */
 case class MinhashBandKeys(child: Expression,
     numHashes: Int = 8, bandSize: Int = 2)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -180,17 +185,19 @@ case class MinhashBandKeys(child: Expression,
     }
     val numBands = numHashes / bandSize
     val bands = new Array[Any](numBands)
-    var b = 0
-    while (b < numBands) {
-      md.reset()
-      var k = 0
-      while (k < bandSize) {
-        md.update(TextExpressions.hex(mins(b * bandSize + k)))
-        k += 1
+    if (mins(0) != null) {
+      var b = 0
+      while (b < numBands) {
+        md.reset()
+        var k = 0
+        while (k < bandSize) {
+          md.update(TextExpressions.hex(mins(b * bandSize + k)))
+          k += 1
+        }
+        bands(b) = UTF8String.fromBytes(TextExpressions.hex(md.digest()))
+        b += 1
       }
-      bands(b) = UTF8String.fromBytes(TextExpressions.hex(md.digest()))
-      b += 1
-    }
+    } // else: no shingles -> all band keys null (see scaladoc)
     new GenericArrayData(bands)
   }
 

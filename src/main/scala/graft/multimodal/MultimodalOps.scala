@@ -65,7 +65,8 @@ object MultimodalOps {
   def sampleFrames(assets: DataFrame, everyMs: Long): DataFrame =
     assets
       .filter(col("media_type") === "video" &&
-        col("meta.duration_ms").isNotNull)
+        col("meta.duration_ms").isNotNull &&
+        col("meta.duration_ms") > 0) // zero-length media: no frames, not a crash
       .select(col("asset_id"),
         explode(sequence(lit(0L), col("meta.duration_ms") - 1,
           lit(everyMs))).as("frame_ts_ms"))

@@ -219,14 +219,11 @@ object PipelineQueries {
       val withNibs = (1 to 4).foldLeft(exploded) { (df, p) =>
         df.withColumn(s"n$p", md5Nibble(col("hh"), p))
       }
-      val sums = withNibs.groupBy("doc_id").agg(
-        (0 until 16).map { i =>
-          sum(shiftright(col(s"n${i / 4 + 1}"), i % 4)
-            .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
-        }.head, (0 until 16).map { i =>
-          sum(shiftright(col(s"n${i / 4 + 1}"), i % 4)
-            .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
-        }.tail: _*)
+      val bitSums = (0 until 16).map { i =>
+        sum(shiftright(col(s"n${i / 4 + 1}"), i % 4)
+          .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
+      }
+      val sums = withNibs.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       sums.withColumn("simhash",
           (0 until 16).map(i =>
             when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))

@@ -31,14 +31,23 @@ object ClickHouseStyleWriter {
     val hasOp = df.columns.contains(ChangelogOps.OpCol)
     WriteMode.validateChangelog(hasPk, insertOnlyStream = !hasOp)
     val mode = WriteMode.dispatch(options, hasPk)
+    // an insert-only stream (no op column) into a collapsing/replacing
+    // table gets the INSERT-kind constants: sign=+1, deleted=0 — exactly
+    // what the reference converter emits for RowKind.INSERT
+    // (ClickHouseRowConverter.java:71-94)
+    def signed(d: DataFrame): DataFrame =
+      if (hasOp) ChangelogOps.withSign(d, options.collapsingField.get)
+      else d.withColumn(options.collapsingField.get, lit(1))
+    def flagged(d: DataFrame): DataFrame =
+      if (hasOp) ChangelogOps.withReplacingFlag(d, options.replacingField.get)
+      else d.withColumn(options.replacingField.get, lit(0))
     val base = mode match {
       case WriteMode.Collapsing =>
-        val signed = ChangelogOps.withSign(df, options.collapsingField.get)
         if (options.replacingField.isDefined) // both appended, R3 :84-119
-          ChangelogOps.withReplacingFlag(signed, options.replacingField.get)
-        else signed
+          flagged(signed(df))
+        else signed(df)
       case WriteMode.Replacing =>
-        ChangelogOps.withReplacingFlag(df, options.replacingField.get)
+        flagged(df)
       case _ =>
         if (hasOp) ChangelogOps.ignoreDeletes(df) else df
     }

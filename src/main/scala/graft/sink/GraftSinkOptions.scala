@@ -28,6 +28,12 @@ final case class GraftSinkOptions(
     writeLocalNodes: Option[String] = None,
     partitionStrategy: String = PartitionStrategy.Balanced,
     partitionKey: Option[String] = None,
+    /** Parsed but intentionally never consulted by the write path: the
+      * reference declares sink.ignore-delete and likewise never reads it
+      * at runtime (only equals/hashCode, ClickHouseOptions.java:159,177);
+      * delete-dropping is hardcoded in the insert-only executor (R9).
+      * Kept for option-surface parity.
+      */
     ignoreDelete: Boolean = false) {
 
   def partitionKeys: Seq[String] =

@@ -30,7 +30,12 @@ object Partitioners {
   def balanced(df: DataFrame, numShards: Int): DataFrame =
     df.repartition(numShards)
 
-  /** Uniform random shard (ShufflePartitioner.java:10-13). */
+  /** Uniform random shard id column (ShufflePartitioner.java:10-13).
+    * NOTE: only an assignment column — do NOT feed it to
+    * repartition(n, col): Spark re-hashes the column (murmur3 % n), which
+    * is not a bijection on 0..n-1, so some shards would systematically
+    * starve while others double up.
+    */
   def shuffleShard(numShards: Int): Column =
     (rand() * numShards).cast("int")
 
@@ -52,7 +57,11 @@ object Partitioners {
         }
         df.repartition(numShards, keys.map(df.col): _*)
       case PartitionStrategy.Shuffle =>
-        df.repartition(numShards, shuffleShard(numShards))
+        // RoundRobinPartitioning starts each task's counter at a random
+        // position — key-independent and uniform across exactly n
+        // partitions, which is the shuffle contract; hashing a random
+        // column would lose the n-way uniformity (see shuffleShard)
+        df.repartition(numShards)
       case _ =>
         balanced(df, numShards)
     }

@@ -37,6 +37,20 @@ object UpsertWriter {
     DeleteRoute -> StatementFactory.delete(options.tableName, primaryKey,
       Some(options.clusterName)))
 
+  /** Column order each route's statement binds positionally — rows handed
+    * to a route's StatementExecutor are projected to exactly this shape,
+    * so JdbcStatementExecutor's 1..n positional binding lines up with the
+    * placeholders in [[statements]]:
+    * INSERT (all columns) / UPDATE (set columns, then pk for the WHERE) /
+    * DELETE (pk only).
+    */
+  def routeFieldNames(route: Route, fieldNames: Seq[String],
+      primaryKey: Seq[String]): Seq[String] = route match {
+    case InsertRoute => fieldNames
+    case UpdateRoute => fieldNames.filterNot(primaryKey.contains) ++ primaryKey
+    case DeleteRoute => primaryKey
+  }
+
   def write(df: DataFrame, options: GraftSinkOptions, primaryKey: Seq[String],
       executorFactory: Route => StatementExecutor): Unit = {
     require(primaryKey.nonEmpty,
@@ -46,17 +60,27 @@ object UpsertWriter {
     val batchSize = options.batchSize
     val maxRetries = options.maxRetries
     val opIdx = df.columns.indexOf(ChangelogOps.OpCol)
+    // per-route positional projections (op column never reaches a writer)
+    val dataFields = df.columns.filterNot(_ == ChangelogOps.OpCol).toSeq
+    val routeIdx: Map[Route, Array[Int]] =
+      Seq(InsertRoute, UpdateRoute, DeleteRoute).map { r =>
+        r -> routeFieldNames(r, dataFields, primaryKey)
+          .map(df.columns.indexOf(_)).toArray
+      }.toMap
     df.foreachPartition { (rows: Iterator[Row]) =>
       val writers: Map[Route, BufferedRetryWriter] =
         Seq(InsertRoute, UpdateRoute, DeleteRoute).map(r =>
           r -> new BufferedRetryWriter(executorFactory(r), batchSize,
             maxRetries)).toMap
+      def emit(route: Route, row: Row): Unit =
+        writers(route).write(
+          Row.fromSeq(routeIdx(route).toIndexedSeq.map(row.get)))
       try {
         rows.foreach { row =>
           row.getString(opIdx) match {
-            case ChangelogOps.Insert => writers(InsertRoute).write(row)
-            case ChangelogOps.UpdateAfter => writers(UpdateRoute).write(row)
-            case ChangelogOps.Delete => writers(DeleteRoute).write(row)
+            case ChangelogOps.Insert => emit(InsertRoute, row)
+            case ChangelogOps.UpdateAfter => emit(UpdateRoute, row)
+            case ChangelogOps.Delete => emit(DeleteRoute, row)
             case _ => () // -U dropped (ClickHouseUpsertExecutor.java:75-77)
           }
         }

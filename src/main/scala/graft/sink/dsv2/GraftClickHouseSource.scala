@@ -54,9 +54,12 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
 
   override def schema(): StructType = schema
 
+  // batch append only — advertising STREAMING_WRITE/TRUNCATE without
+  // implementing toStreaming/SupportsTruncate would defer the failure
+  // from analysis time to mid-job (streaming goes through
+  // StreamingOps.changelogSink/foreachBatch instead)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // factory-time validation (R1): bad options fail the plan, not the job
@@ -72,10 +75,43 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
 class GraftWriteBuilder(options: GraftSinkOptions, pk: Seq[String],
     executorKind: String, schema: StructType) extends WriteBuilder {
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(
-      options, pk, executorKind, schema)
+  override def build(): Write = {
+    // R2 at plan time: a changelog input (op column) needs a PK
+    graft.sink.WriteMode.validateChangelog(pk.nonEmpty,
+      insertOnlyStream = !schema.fieldNames.contains("op"))
+    new GraftWrite(options, pk, executorKind, schema)
   }
+}
+
+/** The write: advertises the shard distribution to Spark instead of
+  * repartitioning behind its back — with write-local + hash strategy the
+  * engine clusters input rows by the partition keys before our writers
+  * run (the DSv2-native form of the reference's in-writer shard routing,
+  * ClickHouseShardOutputFormat.java:72-81).
+  */
+class GraftWrite(options: GraftSinkOptions, pk: Seq[String],
+    executorKind: String, schema: StructType)
+    extends Write with RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+
+  override def requiredDistribution(): Distribution =
+    if (options.writeLocal &&
+        options.partitionStrategy == graft.sink.PartitionStrategy.Hash)
+      Distributions.clustered(
+        options.partitionKeys.map(k => Expressions.identity(k)).toArray)
+    else Distributions.unspecified()
+
+  override def requiredNumPartitions(): Int =
+    if (options.writeLocal)
+      math.max(graft.sink.ShardTopology.resolve(options).size, 0)
+    else 0 // 0 = no constraint
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch: BatchWrite = new GraftBatchWrite(
+    options, pk, executorKind, schema)
 }
 
 class GraftBatchWrite(options: GraftSinkOptions, pk: Seq[String],

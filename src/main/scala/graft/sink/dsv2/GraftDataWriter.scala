@@ -9,35 +9,69 @@ import org.apache.spark.sql.types._
 
 import graft.sink._
 
-/** Per-partition DSv2 writer: InternalRow -> external Row conversion, then
-  * the same BufferedRetryWriter hot path as the foreachPartition route
-  * (one writer + one executor per partition, count-trigger flush, retry,
-  * final flush on commit — ClickHouseBatchOutputFormat.java:44-79).
+/** Per-partition DSv2 writer: applies the changelog materialization mode
+  * row-at-a-time — exactly where the reference does it (the converter
+  * appends sign/flag at index arity+1 and the executor drops D/-U,
+  * ClickHouseRowConverter.java:66-96, ClickHouseBatchExecutor.java:50) —
+  * then runs the same BufferedRetryWriter hot path as the
+  * foreachPartition route (count-trigger flush, retry, final flush on
+  * commit — ClickHouseBatchOutputFormat.java:44-79).
   */
 class GraftDataWriterFactory(options: GraftSinkOptions, pk: Seq[String],
     executorKind: String, schema: StructType) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
-    val fieldNames = schema.fieldNames.toSeq
+    val mode = WriteMode.dispatch(options, pk.nonEmpty)
+    val dataFields = schema.fields.filterNot(_.name == "op")
+    val insertFields = WriteMode.insertFieldNames(options, pk.nonEmpty,
+      dataFields.map(_.name).toSeq)
+    // physical write schema: user fields ++ appended int sign/flag cols
+    val writeSchema = StructType(dataFields ++
+      insertFields.drop(dataFields.length).map(n =>
+        StructField(n, IntegerType, nullable = false)))
     val executor: StatementExecutor = executorKind match {
       case "memory" => new MemorySinkRegistry.Exec(partitionId)
       case _ => new JdbcStatementExecutor(
         options.url,
-        StatementFactory.insertInto(options.tableName, fieldNames),
-        schema, options.username, options.password)
+        StatementFactory.insertInto(options.tableName, insertFields),
+        writeSchema, options.username, options.password)
     }
     new GraftDataWriter(
       new BufferedRetryWriter(executor, options.batchSize, options.maxRetries),
-      schema)
+      schema, options, mode)
   }
 }
 
-class GraftDataWriter(writer: BufferedRetryWriter, schema: StructType)
+class GraftDataWriter(writer: BufferedRetryWriter, schema: StructType,
+    options: GraftSinkOptions, mode: WriteMode)
     extends DataWriter[InternalRow] {
 
-  override def write(record: InternalRow): Unit =
-    writer.write(GraftDataWriter.toExternalRow(record, schema))
+  private val opIdx = schema.fieldNames.indexOf("op")
+  private val dataIdx =
+    schema.fieldNames.zipWithIndex.filterNot(_._1 == "op").map(_._2)
+
+  override def write(record: InternalRow): Unit = {
+    // insert-only op when the stream carries no changelog column
+    val op = if (opIdx < 0) graft.operators.ChangelogOps.Insert
+             else record.getUTF8String(opIdx).toString
+    val isUpsertKind = op == graft.operators.ChangelogOps.Insert ||
+      op == graft.operators.ChangelogOps.UpdateAfter
+    if (mode == WriteMode.InsertOnly && !isUpsertKind) return // R9 drop
+    val base = GraftDataWriter.toExternalRow(record, schema)
+    val data = dataIdx.map(base.get).toIndexedSeq
+    val extras: Seq[Any] = mode match {
+      case WriteMode.Collapsing =>
+        val sign = if (isUpsertKind) 1 else -1 // R10
+        if (options.replacingField.isDefined)
+          Seq(sign, if (isUpsertKind) 0 else 1) // both appended (R3)
+        else Seq(sign)
+      case WriteMode.Replacing =>
+        Seq(if (isUpsertKind) 0 else 1) // R11
+      case _ => Seq.empty
+    }
+    writer.write(Row.fromSeq(data ++ extras))
+  }
 
   override def commit(): WriterCommitMessage = {
     writer.flush()

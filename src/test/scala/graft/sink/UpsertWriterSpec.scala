@@ -39,18 +39,33 @@ class UpsertWriterSpec extends AnyFunSuite with SparkSuite {
       "ALTER TABLE `t` ON CLUSTER `c1` DELETE WHERE `k`=?")
   }
 
-  test("rows route by kind; -U dropped (R12)") {
+  test("rows route by kind with statement-shaped projections; -U dropped") {
     RouteSink.clear()
     import spark.implicits._
     val df = Seq((1L, "I", 10.0), (1L, "-U", 10.0), (1L, "+U", 11.0),
       (2L, "I", 20.0), (2L, "D", 20.0)).toDF("k", "op", "v")
     UpsertWriter.write(df, opts, Seq("k"), new RouteSink.Exec(_))
-    assert(RouteSink.rowsFor(InsertRoute).map(_.getLong(0)).sorted ==
-      Seq(1L, 2L))
-    assert(RouteSink.rowsFor(UpdateRoute).map(_.getLong(0)) == Seq(1L))
-    assert(RouteSink.rowsFor(DeleteRoute).map(_.getLong(0)) == Seq(2L))
-    // 5 rows in, 4 routed (the -U is dropped)
+    // INSERT binds (k, v) — full data row, op dropped
+    assert(RouteSink.rowsFor(InsertRoute)
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted ==
+      Seq((1L, 10.0), (2L, 20.0)))
+    // UPDATE binds (v, k): set columns first, then the WHERE pk
+    assert(RouteSink.rowsFor(UpdateRoute)
+      .map(r => (r.getDouble(0), r.getLong(1))) == Seq((11.0, 1L)))
+    // DELETE binds (k) only
+    assert(RouteSink.rowsFor(DeleteRoute).map(r => (r.length, r.getLong(0)))
+      == Seq((1, 2L)))
     assert(RouteSink.batches.size >= 3)
+  }
+
+  test("routeFieldNames match the statements' placeholder order") {
+    val fields = Seq("k", "v", "w")
+    assert(UpsertWriter.routeFieldNames(InsertRoute, fields, Seq("k")) ==
+      Seq("k", "v", "w"))
+    assert(UpsertWriter.routeFieldNames(UpdateRoute, fields, Seq("k")) ==
+      Seq("v", "w", "k")) // UPDATE `v`=?, `w`=? WHERE `k`=?
+    assert(UpsertWriter.routeFieldNames(DeleteRoute, fields, Seq("k")) ==
+      Seq("k"))
   }
 
   test("upsert requires PK and an op column") {

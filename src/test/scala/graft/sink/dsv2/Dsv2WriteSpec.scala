@@ -30,6 +30,53 @@ class Dsv2WriteSpec extends AnyFunSuite with SparkSuite {
     assert(rows.head.get(1).isInstanceOf[String])
   }
 
+  test("changelog semantics apply in the DSv2 path: collapsing sign") {
+    MemorySinkRegistry.clear()
+    import spark.implicits._
+    val df = Seq((1L, "I", 10.0), (1L, "-U", 10.0), (1L, "+U", 11.0),
+      (2L, "D", 20.0)).toDF("k", "op", "v")
+    df.coalesce(1).write.format("clickhouse-style")
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t")
+      .option("primary-key", "k")
+      .option("table.collapsing.field", "sign")
+      .option("graft.executor", "memory")
+      .mode("append").save()
+    val rows = MemorySinkRegistry.all.flatMap(_._2)
+    // all 4 kinds written, op replaced by the appended sign column
+    assert(rows.size == 4)
+    assert(rows.map(r => (r.getLong(0), r.getInt(2))).sortBy(identity) ==
+      Seq((1L, -1), (1L, 1), (1L, 1), (2L, -1)))
+  }
+
+  test("insert-only mode drops D/-U in the DSv2 path") {
+    MemorySinkRegistry.clear()
+    import spark.implicits._
+    val df = Seq((1L, "I", 10.0), (1L, "-U", 10.0), (2L, "D", 20.0),
+      (3L, "+U", 30.0)).toDF("k", "op", "v")
+    df.coalesce(1).write.format("clickhouse-style")
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t")
+      .option("primary-key", "k")
+      .option("graft.executor", "memory")
+      .mode("append").save()
+    val rows = MemorySinkRegistry.all.flatMap(_._2)
+    assert(rows.map(_.getLong(0)).sorted == Seq(1L, 3L))
+    assert(rows.forall(_.length == 2)) // (k, v) — no op column
+  }
+
+  test("changelog without primary-key rejected at plan time (R2)") {
+    import spark.implicits._
+    val df = Seq((1L, "D", 1.0)).toDF("k", "op", "v")
+    assertThrows[Exception] {
+      df.write.format("clickhouse-style")
+        .option("url", "clickhouse://localhost:8123")
+        .option("table-name", "t")
+        .option("graft.executor", "memory")
+        .mode("append").save()
+    }
+  }
+
   test("invalid options fail at planning time (factory validation)") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "name")
