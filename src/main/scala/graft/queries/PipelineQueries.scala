@@ -156,6 +156,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus token frequencies: explode + count + top-k (the word-count
+    // shape every data pipeline starts from).
+    "q_top_words" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(10)),
+
+    // Array primitives over the token array.
+    "q_array_funcs" -> ((s, dir) => {
+      val ws = words(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(ws, 1).as("first_word"),
+          element_at(ws, -1).as("last_word"),
+          array_contains(ws, "the").cast("int").as("has_the"),
+          size(array_remove(ws, "a")).as("n_no_a"))
+        .orderBy("doc_id")
+    }),
+
     // Polynomial rolling hash over characters (document fingerprint);
     // codegen'd one-pass byte fold, == the declarative char fold on ASCII.
     "doc_fingerprint" -> ((s, dir) =>
@@ -496,6 +517,21 @@ object PipelineQueries {
         |    + 0.3 * (1 - n_stop / n_tokens)
         |    + 0.3 * (n_uniq / n_tokens) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_top_words" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 10""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |  ws[1] AS first_word,
+        |  ws[-1] AS last_word,
+        |  CAST(list_contains(ws, 'the') AS INT) AS has_the,
+        |  CAST(len(list_filter(ws, w -> w <> 'a')) AS INT) AS n_no_a
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id,

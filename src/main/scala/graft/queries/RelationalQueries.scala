@@ -183,6 +183,17 @@ object RelationalQueries {
         .drop("l_shipdate")
     }),
 
+    // first_value/last_value over a running frame per user.
+    "q_window_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          first(col("value")).over(w).as("first_value"),
+          last(col("value")).over(w).as("last_value"))
+        .orderBy("event_id")
+    }),
+
     "q_window_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       t(s, dir, "events")
@@ -501,6 +512,15 @@ object RelationalQueries {
         |    AS DOUBLE) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_first_last" ->
+      """SELECT event_id, user_id,
+        |  FIRST_VALUE(value) OVER w AS first_value,
+        |  LAST_VALUE(value) OVER w AS last_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_window_lag_lead" ->
       """SELECT event_id, user_id, value,
