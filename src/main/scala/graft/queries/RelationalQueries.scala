@@ -168,19 +168,24 @@ object RelationalQueries {
 
     // Cumulative frame; DECIMAL accumulator keeps the running sum exact.
     "q_window_running_sum" -> ((s, dir) => {
+      // (shipdate, orderkey, linenumber) collides once at sf0.1 with
+      // different quantities — quantity+price make the order total up to
+      // full-duplicate rows, whose running values coincide either way
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .withColumn("running_qty",
           sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
             .cast("double"))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("running_qty"), col("l_shipdate"))
-        // the window's own total order — (l_orderkey, l_linenumber) alone
-        // is not unique, so l_shipdate must participate
-        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
-        .drop("l_shipdate")
+          col("running_qty"), col("l_shipdate"), col("l_quantity"),
+          col("l_extendedprice"))
+        // mirror the window's own total order exactly
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice")
+        .drop("l_shipdate", "l_quantity", "l_extendedprice")
     }),
 
     // first_value/last_value over a running frame per user.
@@ -507,11 +512,13 @@ object RelationalQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        |      l_extendedprice
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |  l_quantity, l_extendedprice""".stripMargin,
 
     "q_window_first_last" ->
       """SELECT event_id, user_id,
