@@ -40,9 +40,11 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Warm-up: JIT + codegen + parquet footer caches; not timed.
+    // Warm-up: JIT + codegen + parquet footer caches; not timed — and not
+    // penalized: a transient warm-up failure must not poison the gate.
     Seq("q_hash_agg", "dedup_exact", "similarity_topk")
       .filter(SparkEntry.queries.contains).foreach(force)
+    failed.clear()
 
     // min of two timed passes: JIT warm-up and GC pauses inflate single
     // local-mode measurements by up to 3x run-to-run; the min is the

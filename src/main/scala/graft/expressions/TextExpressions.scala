@@ -158,11 +158,17 @@ case class MinhashBandKeys(child: Expression,
         s"$prettyName requires array<string>, got ${other.simpleString}")
     }
 
+  // digest + prefixes amortized across rows — re-creating them per eval
+  // would reintroduce a chunk of the per-call overhead this expression
+  // exists to remove (expressions are used single-threaded per task; the
+  // task gets its own deserialized copy)
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  @transient private lazy val prefixes =
+    Array.tabulate(numHashes)(j => s"$j:".getBytes("UTF-8"))
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = MessageDigest.getInstance("MD5")
-    val prefixes = Array.tabulate(numHashes)(j => s"$j:".getBytes("UTF-8"))
     val mins = new Array[Array[Byte]](numHashes)
     var i = 0
     while (i < n) {

@@ -74,6 +74,12 @@ class BufferedRetryWriter(
     executor.close()
   }
 
+  /** Release the executor WITHOUT flushing — for protocols where the
+    * flush point is an explicit commit (DSv2): after a task abort, close
+    * must not push the leftover buffer to the sink.
+    */
+  def closeWithoutFlush(): Unit = executor.close()
+
   def bufferedCount: Int = buffer.size
   def flushCount: Long = flushes
   def attemptCount: Long = attemptsTotal

@@ -39,16 +39,23 @@ class JdbcStatementExecutor(
 
   override def executeBatch(rows: Seq[Row]): Unit = {
     ensureOpen()
-    rows.foreach { row =>
-      var i = 0
-      while (i < schema.length) {
-        TypeMapping.setField(stmt, i + 1, row, i, schema(i).dataType)
-        i += 1
+    try {
+      rows.foreach { row =>
+        var i = 0
+        while (i < schema.length) {
+          TypeMapping.setField(stmt, i + 1, row, i, schema(i).dataType)
+          i += 1
+        }
+        stmt.addBatch()
       }
-      stmt.addBatch()
+      stmt.executeBatch()
+    } finally {
+      // ALWAYS clear: the JDBC spec leaves the command list's state after
+      // an abnormal executeBatch driver-dependent, and the retry path
+      // re-adds every row — without this, drivers that keep the list
+      // would duplicate the batch on the successful retry
+      stmt.clearBatch()
     }
-    stmt.executeBatch()
-    stmt.clearBatch()
   }
 
   override def close(): Unit = {
@@ -60,13 +67,14 @@ class JdbcStatementExecutor(
 object JdbcStatementExecutor {
 
   /** Executor factory for ClickHouseStyleWriter.write: one executor per
-    * shard partition (the shard id is available for shard-addressed URLs
-    * in write-local topologies, ClickHouseShardOutputFormat.java:60-70).
+    * shard partition, connected to that shard's local node when a
+    * write-local topology is configured
+    * (ClickHouseShardOutputFormat.java:60-70).
     */
   def factory(options: GraftSinkOptions, schema: StructType,
-      fieldNames: Seq[String]): Int => StatementExecutor = { _ =>
+      fieldNames: Seq[String]): Int => StatementExecutor = { shard =>
     new JdbcStatementExecutor(
-      options.url,
+      ShardTopology.urlForShard(options, shard),
       StatementFactory.insertInto(options.tableName, fieldNames),
       schema, options.username, options.password)
   }

@@ -13,31 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Partitioners {
 
-  /** Shard id column for the hash strategy: nonneg(mix(keys)) % n.
-    * The reference uses Java Objects.hashCode(values) then
-    * `(h % n + n) % n` (HashPartitioner.java:18-25); the contract is
-    * "same key tuple -> same shard", which any deterministic mix
-    * preserves. We use a 31-weighted sum (the same mix as
-    * java.util.Arrays.hashCode) so routing is reproducible in plain SQL.
-    */
-  def hashShard(keys: Seq[Column], numShards: Int): Column =
-    pmod(keys.reduceLeft((a, b) => a * 31 + b), lit(numShards))
-
   /** Round-robin (BalancedPartitioner.java:10-14): `next = (next+1) % n`
     * per writer task. Spark-native: RoundRobinPartitioning via
     * repartition(n) — even spread with no key.
+    * (Explicit shard-id columns are intentionally NOT provided here:
+    * repartition(n, col) murmur3-hashes the column, which is not a
+    * bijection on 0..n-1 — the query-level hash-shard assignment lives in
+    * ChangelogOps.withHashShard, which IS the oracle-mirrored form.)
     */
   def balanced(df: DataFrame, numShards: Int): DataFrame =
     df.repartition(numShards)
-
-  /** Uniform random shard id column (ShufflePartitioner.java:10-13).
-    * NOTE: only an assignment column — do NOT feed it to
-    * repartition(n, col): Spark re-hashes the column (murmur3 % n), which
-    * is not a bijection on 0..n-1, so some shards would systematically
-    * starve while others double up.
-    */
-  def shuffleShard(numShards: Int): Column =
-    (rand() * numShards).cast("int")
 
   /** Apply a strategy: the resulting DataFrame has numShards partitions,
     * each holding one shard's rows (mirrors one executor+connection per

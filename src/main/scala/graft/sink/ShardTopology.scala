@@ -47,4 +47,16 @@ object ShardTopology {
     */
   def resolve(options: GraftSinkOptions): Seq[ShardNode] =
     options.writeLocalNodes.map(parse).getOrElse(Seq.empty)
+
+  /** The JDBC URL a given shard partition writes to: its local node in
+    * write-local mode with a configured topology, the coordinator URL
+    * otherwise (one executor+connection per shard,
+    * ClickHouseShardOutputFormat.java:60-70).
+    */
+  def urlForShard(options: GraftSinkOptions, shard: Int): String = {
+    val nodes = if (options.writeLocal) resolve(options) else Seq.empty
+    if (nodes.isEmpty) options.url
+    else nodes(((shard % nodes.size) + nodes.size) % nodes.size)
+      .jdbcUrl(options.databaseName)
+  }
 }

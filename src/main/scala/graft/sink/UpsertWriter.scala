@@ -18,6 +18,14 @@ import graft.operators.ChangelogOps
   * StatementExecutor (the reference uses three PreparedStatements flushed
   * by one async service; here each partition owns three writers flushed
   * at partition end — same delivery contract).
+  *
+  * LIMITATION (inherited from the reference design): ordering across
+  * routes is not preserved — a D followed by an I of the same key within
+  * one flush window applies as INSERT-then-DELETE. The reference has the
+  * identical behavior (three independent statement batches,
+  * ClickHouseUpsertExecutor.java:60-79), and ClickHouse ALTER mutations
+  * are asynchronous server-side anyway; sequenced upserts belong to the
+  * replacing-mode path, where the version column totalizes order.
   */
 object UpsertWriter {
 

@@ -33,7 +33,7 @@ class GraftDataWriterFactory(options: GraftSinkOptions, pk: Seq[String],
     val executor: StatementExecutor = executorKind match {
       case "memory" => new MemorySinkRegistry.Exec(partitionId)
       case _ => new JdbcStatementExecutor(
-        options.url,
+        ShardTopology.urlForShard(options, partitionId),
         StatementFactory.insertInto(options.tableName, insertFields),
         writeSchema, options.username, options.password)
     }
@@ -80,7 +80,10 @@ class GraftDataWriter(writer: BufferedRetryWriter, schema: StructType,
 
   override def abort(): Unit = ()
 
-  override def close(): Unit = writer.close()
+  // commit() is the flush point; Spark calls close() unconditionally
+  // after abort() too, and flushing there would push the failed task's
+  // buffered rows to the sink during teardown
+  override def close(): Unit = writer.closeWithoutFlush()
 }
 
 object GraftDataWriter {

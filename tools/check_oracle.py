@@ -6,8 +6,10 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name>/ parquet dump written by graft.Verify,
 runs the matching SQL from oracle_sql.json in DuckDB against the sfDir
 parquet tables, and compares row counts, sorted-by-name column sets, and
-cell values (exact; floats compared bitwise first, then with tolerance so
-we can see HOW far off a mismatch is).
+cell values. Comparison is EXACT (floats bitwise, NaN==NaN): queries are
+written so both engines produce identical doubles — there is
+deliberately no tolerance fallback, and the first differing cell is
+printed so the magnitude of a mismatch is visible.
 """
 import json, math, sys
 import duckdb
