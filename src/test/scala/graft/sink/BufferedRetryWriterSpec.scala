@@ -55,4 +55,30 @@ class BufferedRetryWriterSpec extends AnyFunSuite {
     new BufferedRetryWriter(ex, 10, 3).close()
     assert(ex.batches.isEmpty)
   }
+
+  test("closeWithoutFlush discards the buffer (DSv2 abort path)") {
+    val ex = new RecordingExecutor
+    val w = new BufferedRetryWriter(ex, 10, 3)
+    w.write(row(1)); w.write(row(2))
+    w.closeWithoutFlush()
+    assert(ex.batches.isEmpty) // buffered rows of an aborted task not sent
+  }
+
+  test("urlForShard routes to local nodes in write-local mode") {
+    val opts = GraftSinkOptions.fromMap(Map(
+      "url" -> "jdbc:clickhouse://coord:8123/default",
+      "table-name" -> "t",
+      "database-name" -> "db",
+      "sink.write-local" -> "true",
+      "sink.write-local-nodes" -> "h1:8123,h2:8123"))
+    assert(ShardTopology.urlForShard(opts, 0) == "jdbc:clickhouse://h1:8123/db")
+    assert(ShardTopology.urlForShard(opts, 1) == "jdbc:clickhouse://h2:8123/db")
+    assert(ShardTopology.urlForShard(opts, 2) == "jdbc:clickhouse://h1:8123/db")
+    // without write-local (or without nodes): coordinator URL
+    val coord = GraftSinkOptions.fromMap(Map(
+      "url" -> "jdbc:clickhouse://coord:8123/default", "table-name" -> "t",
+      "sink.write-local-nodes" -> "h1:8123"))
+    assert(ShardTopology.urlForShard(coord, 0) ==
+      "jdbc:clickhouse://coord:8123/default")
+  }
 }
