@@ -16,10 +16,11 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE coalescing is byte-based; the near-dup block joins move few
-      // MB but carry quadratic per-pair CPU — without this floor they
-      // collapse to ONE partition and serialize (measured 5-18s vs <1s)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // AQE coalescing is byte-based and its merge decisions flip run to
+      // run on the few-MB shuffles that feed quadratic per-pair CPU work
+      // (near-dup joins), serializing them unpredictably (1-18s swings).
+      // Plain 32-way shuffles cost only task-startup ms at this scale.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
