@@ -303,6 +303,35 @@ object RelationalQueries {
           col("n"), col("sum_value"))
         .orderBy("window_start_ms")),
 
+    // GROUP BY + HAVING (post-aggregation predicate).
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .filter(col("n_orders") > 12)
+        .orderBy("o_custkey")),
+
+    // Null-handling scalar functions over outer-join padding.
+    "q_null_funcs" -> ((s, dir) =>
+      t(s, dir, "customer").join(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          sum(coalesce(col("o_totalprice"), lit(0)).cast(DecimalType(18, 2)))
+            .cast("double").as("sum_or_zero"),
+          count(col("o_orderkey")).as("n_matched"),
+          max(when(col("o_orderkey").isNull, 1).otherwise(0))
+            .as("had_unmatched"))
+        .orderBy("c_custkey")),
+
+    // Explicit cartesian product of two small dims.
+    "q_cross_join" -> ((s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")),
+
     // JSON extraction from the events props payload, aggregated.
     "q_json_funcs" -> ((s, dir) =>
       t(s, dir, "events")
@@ -615,6 +644,29 @@ object RelationalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM assigned GROUP BY window_start_ms
         |ORDER BY window_start_ms""".stripMargin,
+
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_null_funcs" ->
+      """SELECT c_custkey,
+        |  CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sum_or_zero,
+        |  COUNT(o_orderkey) AS n_matched,
+        |  MAX(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS had_unmatched
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "q_json_funcs" ->
       """SELECT event_type,
