@@ -93,6 +93,19 @@ object PipelineQueries {
           count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),
 
+    // Per-document cluster assignment for exact dedup: every doc mapped
+    // to the smallest doc_id sharing its content — the table a pipeline
+    // joins against to drop duplicates. Partitioned by the content hash,
+    // not the body, so the shuffle key is 64 chars at any scale.
+    "dedup_cluster_labels" -> ((s, dir) => {
+      val byHash = Window.partitionBy(sha2(col("text"), 256))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          min(col("doc_id")).over(byHash).as("cluster_id"))
+        .withColumn("is_dup", (col("doc_id") =!= col("cluster_id")).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy("lang", "source")
@@ -456,6 +469,13 @@ object PipelineQueries {
       """SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_cluster_labels" ->
+      """SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id,
+        |  CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY sha256(text))
+        |    AS INT) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,

@@ -50,6 +50,14 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("n"))
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension table — the standard lookup-join shape (the static side is
+    * re-read per batch and broadcast when small; no state is kept).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame,
+      joinKeys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), joinKeys)
+
   /** stream_dedup_state: stateful exact dedup on a key with watermarked
     * state eviction — the streaming analog of ReplacingMergeTree's
     * "first write wins within the state horizon" (R11).

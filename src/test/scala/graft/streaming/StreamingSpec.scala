@@ -102,6 +102,21 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_.getLong(0)).sorted == Seq(1L, 3L))
   }
 
+  test("stream-static enrichment join (broadcast lookup per batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    val joined = StreamingOps.enrich(mem.toDF(), dim, Seq("user_id"))
+      .select("event_id", "tier")
+    runToMemory(joined, "enrich_out", "append")(
+      () => mem.addData(Ev(10, ts(1), 1, 1.0), Ev(11, ts(2), 2, 1.0),
+        Ev(12, ts(3), 99, 1.0))) // 99 has no dim row -> dropped (inner)
+    val got = spark.table("enrich_out").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((10L, "gold"), (11L, "silver")))
+  }
+
   test("flatMapGroupsWithState: live collapsing net state per key (R10)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
