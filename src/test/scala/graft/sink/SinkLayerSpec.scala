@@ -127,6 +127,27 @@ class SinkLayerSpec extends AnyFunSuite {
       insertOnlyStream = true) // fine
   }
 
+  // --- read path (R15) ---
+
+  test("range predicates cover the domain without overlap") {
+    val preds = GraftReader.rangePredicates("id", 0, 100, 4)
+    assert(preds.length == 4)
+    assert(preds(0) == "`id` < 25")
+    assert(preds(1) == "`id` >= 25 AND `id` < 50")
+    assert(preds(3) == "`id` >= 75") // open-ended: catches upper & strays
+    assert(GraftReader.rangePredicates("id", 0, 10, 1).toSeq == Seq("1=1"))
+    // degenerate range still yields valid, non-overlapping predicates
+    assert(GraftReader.rangePredicates("id", 5, 5, 3).length == 3)
+  }
+
+  test("connection properties carry credentials only when configured") {
+    val anon = GraftReader.connectionProperties(GraftSinkOptions.fromMap(base))
+    assert(anon.isEmpty)
+    val auth = GraftReader.connectionProperties(GraftSinkOptions.fromMap(
+      base + ("username" -> "u") + ("password" -> "p")))
+    assert(auth.getProperty("user") == "u" && auth.getProperty("password") == "p")
+  }
+
   // --- type mapping (R14/R17) ---
 
   test("15 supported types map; others throw") {
