@@ -303,6 +303,24 @@ object RelationalQueries {
           col("n"), col("sum_value"))
         .orderBy("window_start_ms")),
 
+    // Skew-safe two-phase (salted) aggregation: events.user_id has only
+    // ~15-150 distinct values, so a single-phase groupBy funnels entire
+    // hot keys through single tasks at scale. Salting fans each key into
+    // 8 sub-aggregates first; the result is provably identical to the
+    // plain GROUP BY (which is exactly what the oracle runs).
+    "q_salted_agg" -> ((s, dir) => {
+      val d = DecimalType(18, 2)
+      t(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(8)))
+        .groupBy("user_id", "salt")
+        .agg(sum(col("value").cast(d)).as("part_sum"),
+          count(lit(1)).as("part_n"))
+        .groupBy("user_id")
+        .agg(sum(col("part_sum")).cast("double").as("sum_value"),
+          sum(col("part_n")).as("n"))
+        .orderBy("user_id")
+    }),
+
     // GROUP BY + HAVING (post-aggregation predicate).
     "q_having" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -644,6 +662,12 @@ object RelationalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM assigned GROUP BY window_start_ms
         |ORDER BY window_start_ms""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
