@@ -199,6 +199,22 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Value-based RANGE frame: per user, sum of values in the trailing
+    // hour of event time (peers enter by value, not row position — so the
+    // result is order-tie-proof by construction).
+    "q_window_range_frame" -> ((s, dir) => {
+      val hourUs = 3600L * 1000 * 1000
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"))
+        .rangeBetween(-hourUs, 0)
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("trailing_hour_sum",
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+        .select("event_id", "user_id", "trailing_hour_sum")
+        .orderBy("event_id")
+    }),
+
     "q_window_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       t(s, dir, "events")
@@ -575,6 +591,14 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_hour_sum
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_window_lag_lead" ->
       """SELECT event_id, user_id, value,
