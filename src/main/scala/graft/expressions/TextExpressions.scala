@@ -158,15 +158,20 @@ case class MinhashBandKeys(child: Expression,
         s"$prettyName requires array<string>, got ${other.simpleString}")
     }
 
-  // digest + prefixes amortized across rows — re-creating them per eval
-  // would reintroduce a chunk of the per-call overhead this expression
-  // exists to remove (expressions are used single-threaded per task; the
-  // task gets its own deserialized copy)
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // digest amortized across rows but held per-THREAD, not per-instance:
+  // the usual "one deserialized copy per task" assumption breaks under
+  // driver-side evaluation or subexpression-elimination reuse, where one
+  // instance may be evaluated concurrently — a shared MessageDigest would
+  // interleave updates and silently corrupt band keys (same pattern as
+  // Spark's own hash expressions)
+  @transient private lazy val md =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
   @transient private lazy val prefixes =
     Array.tabulate(numHashes)(j => s"$j:".getBytes("UTF-8"))
 
   override def nullSafeEval(input: Any): Any = {
+    val md = this.md.get()
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = new Array[Array[Byte]](numHashes)

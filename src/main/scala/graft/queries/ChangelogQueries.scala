@@ -99,7 +99,8 @@ object ChangelogQueries {
     "collapsing_net_state" ->
       s"""$opCte
          |SELECT user_id,
-         |  SUM(CASE WHEN op IN ('I', '+U') THEN 1 ELSE -1 END) AS net
+         |  CAST(SUM(CASE WHEN op IN ('I', '+U') THEN 1 ELSE -1 END)
+         |    AS BIGINT) AS net
          |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "replacing_flag" ->

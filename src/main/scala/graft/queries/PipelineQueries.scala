@@ -479,7 +479,7 @@ object PipelineQueries {
 
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
-        |  SUM(n_chars) AS total_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source

@@ -718,7 +718,8 @@ object RelationalQueries {
 
     "q_json_funcs" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS DOUBLE) / COUNT(*) AS avg_k,
         |  COUNT(*) AS n
@@ -784,9 +785,9 @@ object RelationalQueries {
         |  FROM g
         |), sessions AS (
         |  SELECT user_id, ts,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS session_id
+        |      AS BIGINT) AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -73,8 +73,15 @@ object ClickHouseStyleWriter {
         executorFactory(shard), batchSize, maxRetries)
       try {
         rows.foreach(writer.write)
-      } finally {
         writer.close() // final flush — at-least-once on success path
+      } catch {
+        // a mid-partition flush already exhausted maxRetries: close the
+        // executor WITHOUT re-flushing the still-full buffer, so the
+        // original failure propagates instead of a second retry storm
+        case e: Throwable =>
+          try writer.closeWithoutFlush()
+          catch { case suppressed: Throwable => e.addSuppressed(suppressed) }
+          throw e
       }
     }
   }

@@ -49,12 +49,20 @@ class JdbcStatementExecutor(
         stmt.addBatch()
       }
       stmt.executeBatch()
-    } finally {
-      // ALWAYS clear: the JDBC spec leaves the command list's state after
-      // an abnormal executeBatch driver-dependent, and the retry path
-      // re-adds every row — without this, drivers that keep the list
-      // would duplicate the batch on the successful retry
+      // clear on success: the JDBC spec leaves the command list's state
+      // after executeBatch driver-dependent, and the retry path re-adds
+      // every row — drivers that keep the list would duplicate the batch
       stmt.clearBatch()
+    } catch {
+      case e: Exception =>
+        // the connection itself may be dead — discard both so the next
+        // retry's ensureOpen() reconnects instead of reusing a broken
+        // connection forever (which would defeat the retry contract)
+        try { if (stmt != null) stmt.close() } catch { case _: Exception => () }
+        try { if (conn != null) conn.close() } catch { case _: Exception => () }
+        stmt = null
+        conn = null
+        throw e
     }
   }
 

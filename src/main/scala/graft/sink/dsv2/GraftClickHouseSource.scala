@@ -103,8 +103,14 @@ class GraftWrite(options: GraftSinkOptions, pk: Seq[String],
         options.partitionKeys.map(k => Expressions.identity(k)).toArray)
     else Distributions.unspecified()
 
+  // Spark 4 rejects numPartitions > 0 when the distribution is
+  // UnspecifiedDistribution (DistributionAndOrderingUtils), so the shard
+  // count may only be requested together with the hash-clustered
+  // distribution above; balanced/shuffle write-local keeps its in-writer
+  // routing instead (ClickHouseShardOutputFormat.java:72-81).
   override def requiredNumPartitions(): Int =
-    if (options.writeLocal)
+    if (options.writeLocal &&
+        options.partitionStrategy == graft.sink.PartitionStrategy.Hash)
       math.max(graft.sink.ShardTopology.resolve(options).size, 0)
     else 0 // 0 = no constraint
 

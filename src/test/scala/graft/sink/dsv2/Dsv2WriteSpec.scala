@@ -92,6 +92,64 @@ class Dsv2WriteSpec extends AnyFunSuite with SparkSuite {
       e.getCause != null && e.getCause.getMessage.contains("bogus"))
   }
 
+  test("write-local + balanced strategy plans and writes (no shard-count " +
+      "constraint without a clustered distribution)") {
+    // regression: requiredNumPartitions() > 0 together with
+    // Distributions.unspecified() makes Spark 4 fail every write at
+    // analysis time (DistributionAndOrderingUtils) — write-local with the
+    // default 'balanced' strategy must not request the shard count
+    MemorySinkRegistry.clear()
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, i * 1.0)).toDF("k", "v")
+    df.write.format("clickhouse-style")
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t")
+      .option("sink.write-local", "true")
+      .option("sink.write-local-nodes", "h1:8123,h2:8123")
+      .option("graft.executor", "memory")
+      .mode("append").save()
+    assert(MemorySinkRegistry.all.flatMap(_._2).size == 20)
+  }
+
+  test("write-local + shuffle strategy plans and writes") {
+    MemorySinkRegistry.clear()
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, i * 1.0)).toDF("k", "v")
+    df.write.format("clickhouse-style")
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t")
+      .option("sink.write-local", "true")
+      .option("sink.write-local-nodes", "h1:8123,h2:8123")
+      .option("sink.partition-strategy", "shuffle")
+      .option("graft.executor", "memory")
+      .mode("append").save()
+    assert(MemorySinkRegistry.all.flatMap(_._2).size == 20)
+  }
+
+  test("write-local + hash strategy clusters by key across shard count") {
+    MemorySinkRegistry.clear()
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i % 10, i * 1.0)).toDF("k", "v")
+    df.write.format("clickhouse-style")
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t")
+      .option("sink.write-local", "true")
+      .option("sink.write-local-nodes", "h1:8123,h2:8123")
+      .option("sink.partition-strategy", "hash")
+      .option("sink.partition-key", "k")
+      .option("graft.executor", "memory")
+      .mode("append").save()
+    val all = MemorySinkRegistry.all
+    assert(all.flatMap(_._2).size == 100)
+    // clustered distribution honored: every key lands in exactly one
+    // writer partition (first tuple element = partitionId)
+    val partsPerKey = all
+      .flatMap { case (pid, rows) => rows.map(r => (r.getLong(0), pid)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    assert(partsPerKey.size == 10)
+    assert(partsPerKey.values.forall(_ == 1))
+  }
+
   test("missing table-name rejected") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "name")

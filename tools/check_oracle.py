@@ -49,6 +49,23 @@ def compare(exp, got):
     ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
     if ecols != gcols:
         return [f"columns differ: oracle={ecols} spark={gcols}"]
+    # dtype check: the driver's value hash tolerates integer WIDTH
+    # differences (int32 row_number vs DuckDB's int64 passed round 1) but
+    # not KIND differences — DuckDB SUM(int) -> hugeint/decimal128 vs
+    # Spark's int64 was the round-1 hash-mismatch class. Normalize widths,
+    # flag kind divergence (int vs decimal vs float vs string ...).
+    def kind(t):
+        s = str(t)
+        if s.startswith(("int", "uint")):
+            return "int"
+        if s.startswith("decimal") or s == "int128":
+            return "decimal"
+        return s
+    for c in ecols:
+        et = exp.schema.field(c).type
+        gt = got.schema.field(c).type
+        if kind(et) != kind(gt):
+            errs.append(f"col {c}: dtype kind differs oracle={et} spark={gt}")
     if exp.num_rows != got.num_rows:
         errs.append(f"rows differ: oracle={exp.num_rows} spark={got.num_rows}")
     n = min(exp.num_rows, got.num_rows)
