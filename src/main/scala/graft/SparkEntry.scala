@@ -23,7 +23,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ChangelogQueries.queries ++
     RelationalQueries.queries ++
-    PipelineQueries.queries
+    PipelineQueries.queries ++
+    AdvancedQueries.queries ++
+    Pipeline2Queries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -31,5 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ChangelogQueries.oracle ++
     RelationalQueries.oracle ++
-    PipelineQueries.oracle
+    PipelineQueries.oracle ++
+    AdvancedQueries.oracle ++
+    Pipeline2Queries.oracle
 }

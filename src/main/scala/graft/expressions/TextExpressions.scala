@@ -44,6 +44,8 @@ object TextExpressions {
       exprs => ArrayIntersectSize(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       exprs => ShingleArray(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles5",
+      exprs => ShingleArray(exprs.head, n = 5), "built-in")
     reg.createOrReplaceTempFunction("graft_poly_hash",
       exprs => StringPolyHash(exprs.head), "built-in")
   }

@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Group D (round 2): relational depth beyond the §2b contract — the
+  * temporal/merge patterns a changelog-fed warehouse needs (as-of
+  * enrichment, gaps-and-islands sessionization, SCD-2 history, snapshot
+  * MERGE classification) plus the remaining SQL surface (FILTER-style
+  * conditional aggregates, arg_max/arg_min, bit aggregates, ordered
+  * string_agg, posexplode, rank-selected discrete quantiles) and a
+  * salted-join skew demo.
+  *
+  * Scale posture notes are on each query; the as-of join is the
+  * single-shuffle union+window formulation (no per-row subquery, no
+  * pair explosion), which is the shape that survives 100 TB.
+  *
+  * Determinism: same conventions as the other groups — total ORDER BY
+  * mirrored in the oracle, DECIMAL(18,2) routing for double sums
+  * (events.value is 2-decimal), timestamps as epoch micros, and every
+  * window ordered by a provably unique key (event_id / o_orderkey).
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join: each click enriched with the latest purchase (same
+    // user) at-or-before its timestamp. Implemented as ONE union + ONE
+    // window — both streams shuffle once on user_id, then a running
+    // last(ignoreNulls) carries the most recent purchase forward. No
+    // per-left-row probe, no range-join pair explosion; at 100 TB this
+    // is a single sort-merge pass per key, the same shape as a
+    // stream-stream temporal join. Purchases sort before clicks on
+    // timestamp ties (side 0 < 1) for inclusive <= semantics; event_id
+    // makes the sort total. The oracle is DuckDB's native ASOF JOIN —
+    // an independent implementation of the same semantics.
+    "q_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"), lit(1).as("side"),
+          col("event_id"), col("value").as("click_value"),
+          lit(null).cast("double").as("p_value"),
+          lit(null).cast("long").as("p_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), lit(0).as("side"),
+          col("event_id"), lit(null).cast("double").as("click_value"),
+          col("value").as("p_value"), col("us").as("p_us"))
+      val w = Window.partitionBy("user_id")
+        .orderBy("us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_purchase_value",
+          last(col("p_value"), ignoreNulls = true).over(w))
+        .withColumn("last_purchase_us",
+          last(col("p_us"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("user_id"), col("event_id"), col("us").as("click_us"),
+          col("click_value"), col("last_purchase_value"),
+          col("last_purchase_us"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Gaps & islands: maximal runs of the same event_type per user in
+    // time order — the classic rn-difference grouping. One shuffle on
+    // user_id; both window passes reuse the same sort.
+    "q_gap_islands" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+      val byUserType = Window.partitionBy("user_id", "event_type")
+        .orderBy("us", "event_id")
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("grp",
+          row_number().over(byUser) - row_number().over(byUserType))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_islands"),
+          max(col("run_len")).as("max_run"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // SCD-2 effective ranges from the changelog: each event-version of a
+    // user becomes a [valid_from, valid_to) row, closed by the next
+    // version (lead), open-ended for the current one — the history table
+    // a ReplacingMergeTree collapses to latest (R11) but keeps in full
+    // here. Single shuffle on the PK.
+    "q_scd2_ranges" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events")
+        .withColumn("valid_from_us", unix_micros(col("ts")))
+        .withColumn("valid_to_us",
+          lead(col("valid_from_us"), 1).over(byUser))
+        .withColumn("is_current",
+          col("valid_to_us").isNull.cast("int"))
+        .select("user_id", "event_id", "value", "valid_from_us",
+          "valid_to_us", "is_current")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // MERGE-style snapshot diff: latest order per customer in two date
+    // halves, full-outer-joined and classified insert/update/delete —
+    // the batch materialization of the upsert executor's routing (R12).
+    // arg_max keyed by the unique o_orderkey keeps it deterministic.
+    "q_merge_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cut = lit("1998-01-01").cast("timestamp")
+      def snap(df: DataFrame) = df.groupBy("o_custkey")
+        .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("price"),
+          max(col("o_orderkey")).as("last_key"))
+      val old = snap(o.filter(col("o_orderdate") < cut))
+        .select(col("o_custkey").as("custkey"),
+          col("price").as("old_price"), col("last_key").as("old_key"))
+      val neu = snap(o.filter(col("o_orderdate") >= cut))
+        .select(col("o_custkey").as("custkey"),
+          col("price").as("new_price"), col("last_key").as("new_key"))
+      old.join(neu, Seq("custkey"), "full_outer")
+        .withColumn("action",
+          when(col("old_key").isNull, "insert")
+            .when(col("new_key").isNull, "delete")
+            .otherwise("update"))
+        .select("custkey", "action", "old_price", "new_price")
+        .orderBy("custkey")
+    }),
+
+    // FILTER-clause conditional aggregation (count_if / filtered sums).
+    "q_conditional_agg" -> ((s, dir) => {
+      val high = col("value") > 100
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(high, 1L).otherwise(0L)).as("n_high"),
+          dsum(when(high, col("value"))).as("sum_high"),
+          (sum(when(high, 1).otherwise(0)).cast("double") / count(lit(1)))
+            .as("high_share"))
+        .orderBy("event_type")
+    }),
+
+    // arg_max / arg_min: value carried by the extremal version key —
+    // deterministic because event_id is unique per group.
+    "q_min_max_by" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max_by(col("value"), col("event_id")).as("latest_value"),
+          min_by(col("value"), col("event_id")).as("first_value"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"))
+        .orderBy("user_id")),
+
+    // Bitwise aggregates over the version column (shard-mask style).
+    "q_bitwise_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("bit_and(event_id)").as("band"),
+          expr("bit_or(event_id)").as("bor"),
+          expr("bit_xor(event_id)").as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")),
+
+    // Ordered string aggregation: csv of distinct user ids per type.
+    // Sorted BEFORE concatenation on both engines (array_sort here,
+    // ORDER BY inside string_agg there) so the result is total-ordered.
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_set(col("user_id"))),
+            _.cast("string"))).as("users"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+
+    // Table-generating explode with position (LATERAL/UNNEST surface) —
+    // first 5 tokens of each document, position-tagged.
+    "q_posexplode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 5))
+            .as(Seq("pos", "tok")))
+        .orderBy("doc_id", "pos")),
+
+    // Discrete quantiles by rank selection: the value AT position
+    // ceil(q*n) of the (value, event_id) total order — engine-agnostic
+    // (no interpolation, no percentile built-ins), single window pass.
+    "q_quantile_disc" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+          max(when(col("rn") === expr("(n + 3) div 4"),
+            col("value"))).as("p25"),
+          max(when(col("rn") === expr("(n + 1) div 2"),
+            col("value"))).as("p50"),
+          max(when(col("rn") === expr("(n * 3 + 3) div 4"),
+            col("value"))).as("p75"),
+          max(col("n")).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Salted skew JOIN: events.user_id has ~15 distinct values — at
+    // 100 TB each key is a multi-GB straggler in a plain shuffle join.
+    // Replicate the tiny dim across 16 salt buckets and split each hot
+    // key 16 ways; the join key becomes (user_id, salt) and every
+    // bucket is 1/16th of a hot key. Oracle = the plain unsalted join.
+    "q_salted_join" -> ((s, dir) => {
+      val salts = 16
+      val dim = t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("tier", pmod(col("user_id"), lit(3)))
+        .crossJoin(broadcast(
+          s.range(salts).select(col("id").cast("int").as("salt"))))
+      val facts = t(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+      facts.join(dim, Seq("user_id", "salt"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("tier")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    // Independent formulation: DuckDB's native ASOF JOIN (inclusive >=,
+    // greatest purchase ts <= click ts) — validated tie-free at every
+    // scale factor ((user_id, epoch_us) is unique within events).
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events
+        |),
+        |clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+        |purch  AS (SELECT * FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, c.us AS click_us,
+        |  c.value AS click_value,
+        |  p.value AS last_purchase_value,
+        |  p.us AS last_purchase_us
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.us >= p.us
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "q_gap_islands" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id)
+        |    - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS grp
+        |  FROM events
+        |), runs AS (
+        |  SELECT user_id, event_type, grp, COUNT(*) AS run_len
+        |  FROM g GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, event_type, COUNT(*) AS n_islands,
+        |  MAX(run_len) AS max_run
+        |FROM runs GROUP BY 1, 2
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_scd2_ranges" ->
+      """SELECT user_id, event_id, value,
+        |  epoch_us(ts) AS valid_from_us,
+        |  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS valid_to_us,
+        |  CAST(LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY event_id) IS NULL AS INT) AS is_current
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_merge_diff" ->
+      """WITH old AS (
+        |  SELECT o_custkey AS custkey,
+        |    arg_max(o_totalprice, o_orderkey) AS old_price,
+        |    MAX(o_orderkey) AS old_key
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1
+        |), neu AS (
+        |  SELECT o_custkey AS custkey,
+        |    arg_max(o_totalprice, o_orderkey) AS new_price,
+        |    MAX(o_orderkey) AS new_key
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  GROUP BY 1
+        |)
+        |SELECT COALESCE(o.custkey, n.custkey) AS custkey,
+        |  CASE WHEN o.old_key IS NULL THEN 'insert'
+        |       WHEN n.new_key IS NULL THEN 'delete'
+        |       ELSE 'update' END AS action,
+        |  o.old_price, n.new_price
+        |FROM old o FULL OUTER JOIN neu n ON o.custkey = n.custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT event_type, COUNT(*) AS n_total,
+        |  CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_high,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (WHERE value > 100) AS DOUBLE) AS sum_high,
+        |  CAST(COUNT(*) FILTER (WHERE value > 100) AS DOUBLE) / COUNT(*)
+        |    AS high_share
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_min_max_by" ->
+      """SELECT user_id,
+        |  arg_max(value, event_id) AS latest_value,
+        |  arg_min(value, event_id) AS first_value,
+        |  MAX(value) AS max_value, MIN(value) AS min_value
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_bitwise_agg" ->
+      """SELECT user_id, bit_and(event_id) AS band,
+        |  bit_or(event_id) AS bor, bit_xor(event_id) AS bxor,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_string_agg" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT event_type,
+        |  string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id)
+        |    AS users,
+        |  COUNT(*) AS n_users
+        |FROM d GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_posexplode" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ')[1:5] AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+        |  unnest(toks) AS tok
+        |FROM w
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_quantile_disc" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  MAX(CASE WHEN rn = (n + 3) // 4 THEN value END) AS p25,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = (n * 3 + 3) // 4 THEN value END) AS p75,
+        |  MAX(n) AS n
+        |FROM r GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT user_id, user_id % 3 AS tier FROM events
+        |)
+        |SELECT d.tier, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY d.tier
+        |ORDER BY d.tier""".stripMargin,
+  )
+}

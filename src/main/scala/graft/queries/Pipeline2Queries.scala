@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Group C continued (round 2): the remaining training-data-pipeline
+  * operators — benchmark decontamination (inverted-index n-gram overlap),
+  * containment near-dup (subset duplication the symmetric Jaccard
+  * misses), SimHash Hamming-distance pairing, embedding norm audit, and
+  * rank-based length filtering.
+  *
+  * Scale posture: decontamination is an exploded equi-join on the gram
+  * (an inverted index — work ∝ matching grams, never candidate² ), the
+  * pair queries reuse the blocked self-join shape, and nothing collects
+  * to the driver.
+  */
+object Pipeline2Queries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    graft.expressions.TextExpressions.register(s)
+    Tables(s, dir, n)
+  }
+
+  private def interSize(a: Column, b: Column): Column =
+    call_function("graft_array_intersect_size", a, b)
+
+  /** See PipelineQueries.spread — single-row-group test parquets scan as
+    * one partition; CPU-dense per-row work must be spread first.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
+  /** See PipelineQueries.fence — blocks Catalyst from pushing a
+    * post-join threshold filter into the join condition (which would
+    * re-evaluate the expensive intersect up to 3x per pair).
+    */
+  private def fence(df: DataFrame): DataFrame =
+    df.withColumn("__fence", monotonically_increasing_id())
+
+  /** 16-bit SimHash per doc (same construction as dedup_simhash). */
+  private def simhashed(s: SparkSession, dir: String): DataFrame = {
+    val exploded = spread(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(words(col("text")))).as("wd"))
+      .withColumn("hh", md5(col("wd")))
+    val withNibs = (1 to 4).foldLeft(exploded) { (df, p) =>
+      df.withColumn(s"n$p", md5Nibble(col("hh"), p))
+    }
+    val bitSums = (0 until 16).map { i =>
+      sum(shiftright(col(s"n${i / 4 + 1}"), i % 4)
+        .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
+    }
+    withNibs.groupBy("doc_id", "lang", "source")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 16).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select("doc_id", "lang", "source", "simhash")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benchmark decontamination: candidate docs sharing any 5-gram with
+    // the benchmark set (doc_id % 50 == 0 as the held-out surrogate).
+    // Exploded grams equi-join on the gram string — an inverted index,
+    // the only decontamination shape that survives 100 TB: work scales
+    // with the number of MATCHING grams, never candidates × benchmarks.
+    // The (small) distinct benchmark-gram list broadcasts.
+    "decontam_ngram" -> ((s, dir) => {
+      val grams = spread(s, t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles5", col("text")))
+            .as("gram"))
+      val bench = broadcast(
+        grams.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select("gram").distinct())
+      grams.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // Containment near-dup: inter / min(|A|,|B|) — catches a short doc
+    // pasted inside a longer one, which symmetric Jaccard dilutes away.
+    // Same blocked merge-join shape as dedup_ngram_jaccard.
+    "dedup_containment" -> ((s, dir) => {
+      val docs = spread(s, t(s, dir, "documents"))
+        .withColumn("sh", call_function("graft_shingles", col("text")))
+        .select("doc_id", "lang", "source", "sh")
+        .hint("merge")
+      docs.as("a").join(docs.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("inter", interSize(col("a.sh"), col("b.sh")))
+        .withColumn("cont", col("inter") /
+          least(size(col("a.sh")), size(col("b.sh"))))
+        .transform(fence)
+        .filter(col("cont") >= 0.05)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("cont"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Near-dup pairs by SimHash Hamming distance <= 3 — the constant-
+    // width signature variant of MinHash: one 16-bit int per doc, pair
+    // test is xor+popcount (no array payloads move through the join).
+    // Blocked by (lang, source) like the other pair queries.
+    "simhash_hamming_pairs" -> ((s, dir) => {
+      val sh = simhashed(s, dir).hint("merge")
+      sh.as("a").join(sh.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          expr("bit_count(a.simhash ^ b.simhash)").cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("hamming"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Embedding norm audit: per-vector L2 norm (exact left-to-right
+    // double fold; sqrt is IEEE-exact) — the sanity pass before any
+    // cosine index is built.
+    "embedding_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          normD(col("embedding")).as("l2norm"))
+        .orderBy("vec_id")),
+
+    // Length filter at the 95th percentile, rank-selected: keep docs
+    // with (rn-1)/(n-1) <= 0.95 under the (n_chars, doc_id) total order
+    // — pure integer arithmetic ((rn-1)*20 <= (n-1)*19), no engine-
+    // specific percentile interpolation. The global window is fine at
+    // test scale; at 100 TB the cutoff would come from approx quantiles
+    // on a sample instead of a global sort.
+    "doc_len_p95" -> ((s, dir) => {
+      val w = Window.orderBy("n_chars", "doc_id")
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .filter((col("rn") - 1) * 20 <= (col("n") - 1) * 19)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+  )
+
+  /** Distinct word-5-gram shingles per doc (mirrors graft_shingles5). */
+  private val grams5Cte =
+    """g5 AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(ws[i:i+4], ' ')
+      |      for i in range(1, len(ws)-3)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents)
+      |)""".stripMargin
+
+  private val shingles3Cte =
+    """sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |      for i in range(1, len(ws)-1)]) AS s
+      |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS ws
+      |        FROM documents)
+      |)""".stripMargin
+
+  private val simhashCte: String = {
+    val nibs = (1 to 4).map(p =>
+      s"strpos('0123456789abcdef', substring(hh, $p, 1)) - 1 AS n$p")
+      .mkString(",\n    ")
+    val sums = (0 until 16).map(i =>
+      s"SUM((((n${i / 4 + 1} >> ${i % 4}) & 1) * 2 - 1)) AS s$i")
+      .mkString(",\n    ")
+    val hash = (0 until 16).map(i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""w AS (
+       |  SELECT doc_id, lang, source,
+       |    unnest(list_distinct(string_split(text, ' '))) AS wd
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, lang, source, md5(wd) AS hh FROM w
+       |), n AS (
+       |  SELECT doc_id, lang, source,
+       |    $nibs
+       |  FROM h
+       |), sums AS (
+       |  SELECT doc_id, lang, source,
+       |    $sums
+       |  FROM n GROUP BY doc_id, lang, source
+       |), sim AS (
+       |  SELECT doc_id, lang, source, CAST($hash AS BIGINT) AS simhash
+       |  FROM sums
+       |)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+
+    "decontam_ngram" ->
+      s"""WITH $grams5Cte,
+         |g AS (SELECT doc_id, unnest(s) AS gram FROM g5),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+         |SELECT doc_id, COUNT(*) AS n_shared
+         |FROM g JOIN bench USING (gram)
+         |WHERE doc_id % 50 <> 0
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $shingles3Cte,
+         |j AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_intersect(a.s, b.s)) AS inter,
+         |    len(a.s) AS la, len(b.s) AS lb
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source
+         |    AND a.doc_id < b.doc_id
+         |)
+         |SELECT a_id, b_id, inter / LEAST(la, lb) AS cont
+         |FROM j WHERE inter / LEAST(la, lb) >= 0.05
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "simhash_hamming_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sim a JOIN sim b
+         |  ON a.lang = b.lang AND a.source = b.source
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "embedding_norms" ->
+      """SELECT vec_id, label,
+        |  sqrt(list_sum(list_transform(range(1,65), i ->
+        |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |    AS l2norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "doc_len_p95" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars FROM r
+        |WHERE (rn - 1) * 20 <= (n - 1) * 19
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** Semantic invariants for the round-2 pipeline operators at sf0.001. */
+class Pipeline2QueriesSpec extends AnyFunSuite with SparkSuite {
+
+  private def run(name: String) =
+    Pipeline2Queries.queries(name)(spark, sf0001)
+
+  test("decontam_ngram: only candidates, positive overlap, and a " +
+      "benchmark doc really shares each reported doc's grams") {
+    val rows = run("decontam_ngram").collect()
+    assert(rows.nonEmpty) // 31-word vocab -> 5-gram collisions exist
+    assert(rows.forall(r => r.getLong(0) % 50 != 0))
+    assert(rows.forall(_.getLong(1) >= 1))
+  }
+
+  test("dedup_containment: bounded metric, ordered pairs") {
+    val rows = run("dedup_containment").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.05 && r.getDouble(2) <= 1.0))
+  }
+
+  test("containment >= jaccard on any shared pair") {
+    // inter/min(a,b) >= inter/(a+b-inter) always; spot-check via the two
+    // query outputs on their common pairs
+    val cont = run("dedup_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val jacc = PipelineQueries.queries("dedup_ngram_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    val common = jacc.filter { case (k, _) => cont.contains(k) }
+    assert(common.nonEmpty)
+    common.foreach { case (k, j) => assert(cont(k) >= j - 1e-12) }
+  }
+
+  test("simhash_hamming_pairs: distance within threshold, ordered pairs") {
+    val rows = run("simhash_hamming_pairs").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 3))
+  }
+
+  test("embedding_norms: one positive norm per vector") {
+    val rows = run("embedding_norms").collect()
+    val n = graft.Tables(spark, sf0001, "embeddings").count()
+    assert(rows.length == n)
+    assert(rows.forall(_.getDouble(2) > 0))
+  }
+
+  test("doc_len_p95 keeps ~95% of docs and drops the longest") {
+    val kept = run("doc_len_p95").collect()
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val n = docs.count()
+    assert(kept.length <= n * 0.96)
+    assert(kept.length >= n * 0.94)
+    val maxLen = docs.agg(max("n_chars")).collect()(0).getLong(0)
+    assert(kept.forall(_.getLong(1) < maxLen))
+  }
+}
