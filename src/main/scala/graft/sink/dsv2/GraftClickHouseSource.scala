@@ -54,12 +54,11 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
 
   override def schema(): StructType = schema
 
-  // batch append only — advertising STREAMING_WRITE/TRUNCATE without
-  // implementing toStreaming/SupportsTruncate would defer the failure
-  // from analysis time to mid-job (streaming goes through
-  // StreamingOps.changelogSink/foreachBatch instead)
+  // batch + streaming append; the changelog op column rides as data in
+  // both paths (the Spark analog of the reference's changelog-accepting
+  // sink declaration, ClickHouseDynamicTableSink.getChangelogMode:23-38)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // factory-time validation (R1): bad options fail the plan, not the job
@@ -118,6 +117,32 @@ class GraftWrite(options: GraftSinkOptions, pk: Seq[String],
 
   override def toBatch: BatchWrite = new GraftBatchWrite(
     options, pk, executorKind, schema)
+
+  override def toStreaming: streaming.StreamingWrite =
+    new GraftStreamingWrite(options, pk, executorKind, schema)
+}
+
+/** Micro-batch streaming write: every epoch reuses the identical
+  * per-partition buffered writer as the batch path (same count-trigger
+  * flush, same changelog materialization). Delivery is at-least-once —
+  * epoch commit is a no-op, matching the reference's contract (rows
+  * re-submitted after failure, idempotence delegated downstream to
+  * ReplacingMergeTree + version column; README.md:20,
+  * ClickHouseBatchExecutor.java:103-123 — no 2PC integration exists).
+  */
+class GraftStreamingWrite(options: GraftSinkOptions, pk: Seq[String],
+    executorKind: String, schema: StructType)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new GraftDataWriterFactory(options, pk, executorKind, schema)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class GraftBatchWrite(options: GraftSinkOptions, pk: Seq[String],

@@ -18,7 +18,16 @@ import graft.sink._
   * commit — ClickHouseBatchOutputFormat.java:44-79).
   */
 class GraftDataWriterFactory(options: GraftSinkOptions, pk: Seq[String],
-    executorKind: String, schema: StructType) extends DataWriterFactory {
+    executorKind: String, schema: StructType)
+    extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  /** Streaming epochs reuse the batch writer unchanged — the epoch id is
+    * irrelevant to an at-least-once buffered JDBC append.
+    */
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {

@@ -150,6 +150,59 @@ class Dsv2WriteSpec extends AnyFunSuite with SparkSuite {
     assert(partsPerKey.values.forall(_ == 1))
   }
 
+  test("streaming write: writeStream.format(clickhouse-style) delivers " +
+      "every micro-batch through the buffered sink (STREAMING_WRITE)") {
+    MemorySinkRegistry.clear()
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Double)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    val q = mem.toDF().toDF("k", "op", "v")
+      .writeStream.format("clickhouse-style")
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t_stream")
+      .option("primary-key", "k")
+      .option("table.collapsing.field", "sign")
+      .option("graft.executor", "memory")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((1L, "I", 10.0), (1L, "-U", 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, "+U", 11.0), (2L, "D", 20.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = MemorySinkRegistry.all.flatMap(_._2)
+    // all four changelog kinds written across two epochs, sign appended
+    assert(rows.size == 4)
+    assert(rows.map(r => (r.getLong(0), r.getInt(2))).sortBy(identity) ==
+      Seq((1L, -1), (1L, 1), (1L, 1), (2L, -1)))
+  }
+
+  test("streaming write: insert-only stream needs no primary key") {
+    MemorySinkRegistry.clear()
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt2").toString
+    val q = mem.toDF().toDF("k", "v")
+      .writeStream.format("clickhouse-style")
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t_stream2")
+      .option("graft.executor", "memory")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(MemorySinkRegistry.all.flatMap(_._2).size == 3)
+  }
+
   test("missing table-name rejected") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "name")
