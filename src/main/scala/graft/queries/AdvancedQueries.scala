@@ -228,6 +228,55 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("tier")
     }),
+
+    // TPC-H Q3 shape (shipping priority): selective dim filter broadcast
+    // into a two-join star, revenue agg, global top-10. The canonical
+    // "analytics dashboard" feed: only the filtered customer keys and
+    // (orderkey, partial revenue) rows ever cross a shuffle.
+    "q_tpch_q3" -> ((s, dir) => {
+      val d = DecimalType(18, 2)
+      val cut = lit("1998-01-01").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(col("l_extendedprice").cast(d) *
+            (lit(1).cast(d) - col("l_discount").cast(d)))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          // parquet timestamp[ms] reads as NTZ; session TZ is UTC so the
+          // cast is an identity relabel before the epoch conversion
+          unix_millis(col("o_orderdate").cast("timestamp"))
+            .as("o_orderdate_ms"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape (returned items): revenue lost to returns per
+    // customer over a quarter-window, nation broadcast, top-20.
+    "q_tpch_q10" -> ((s, dir) => {
+      val d = DecimalType(18, 2)
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(col("l_extendedprice").cast(d) *
+            (lit(1).cast(d) - col("l_discount").cast(d)))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -369,5 +418,36 @@ object AdvancedQueries {
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY d.tier
         |ORDER BY d.tier""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
   )
 }

@@ -153,6 +153,109 @@ object Pipeline2Queries {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     }),
+
+    // Product-quantization ANN: 64-d vectors split into 8 subspaces of
+    // 8 dims; each subvector encoded as the id of its nearest anchor
+    // (vectors 0-15 serve as the deterministic sampled codebook); query
+    // distance is the ADC sum of precomputed probe->anchor subdistances.
+    // The index shrinks each vector to 8 bytes — the compressed-domain
+    // complement of IVF cell probing (ann_ivf_topk): at 100 TB the scan
+    // touches codes, never raw floats, and the 128-entry ADC table
+    // broadcasts. Every distance is the same left-to-right double fold
+    // in both engines; argmin ties break on (dist, anchor id); the final
+    // per-vector sum folds in explicit subspace order.
+    "ann_pq_topk" -> ((s, dir) => {
+      val m = 8; val subDim = 8; val k = 16
+      val subArr = array((0 until m).map(i =>
+        slice(col("embedding"), i * subDim + 1, subDim)): _*)
+      val subs = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(subArr).as(Seq("sub", "subv")))
+      val anchors = broadcast(subs.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("sub"),
+          col("subv").as("av")))
+      def dist2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b,
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v)
+      val byDist = Window.partitionBy("vec_id", "sub")
+        .orderBy("d2", "cid")
+      val codes = subs.join(anchors, "sub")
+        .withColumn("d2", dist2(col("subv"), col("av")))
+        .withColumn("rn", row_number().over(byDist))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid").as("code"))
+      // ADC table: probe subvector -> every anchor, 128 rows, broadcast
+      val probe = subs.filter(col("vec_id") === 0)
+        .select(col("sub"), col("subv").as("pv"))
+      val adc = broadcast(anchors.join(probe, "sub")
+        .select(col("sub"), col("cid"), dist2(col("pv"), col("av")).as("pd")))
+      codes.join(adc,
+          codes("sub") === adc("sub") && col("code") === col("cid"))
+        .groupBy("vec_id")
+        .agg(aggregate(
+          transform(array_sort(collect_list(
+            struct(codes("sub").as("sub"), col("pd").as("pd")))),
+            _.getField("pd")),
+          lit(0.0), (acc, v) => acc + v).as("adist"))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("adist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // Corpus-driven stopword discovery: document frequency of every
+    // distinct token, top-20 by df — the first pass of any quality/
+    // filtering pipeline. Explode-then-count; the shuffle key is the
+    // token, work ∝ corpus token count.
+    "stopword_discovery" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val total = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      spread(s, docs)
+        .select(explode(array_distinct(words(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .crossJoin(total)
+        .withColumn("df_ratio", col("df").cast("double") / col("n_docs"))
+        .select("token", "df", "df_ratio")
+        .orderBy(col("df").desc, col("token"))
+        .limit(20)
+    }),
+
+    // Deterministic train/val/test split: the first hex digit of
+    // md5(doc_id) routes 12/16 - 2/16 - 2/16. Pure hash, no RNG state —
+    // reproducible on any cluster at any parallelism, and joinable as a
+    // split-assignment table.
+    "sample_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+        .withColumn("split",
+          when(col("h") < "c", "train")
+            .when(col("h") < "e", "val")
+            .otherwise("test"))
+        .select("doc_id", "h", "split")
+        .orderBy("doc_id")),
+
+    // TF-IDF-style term weighting without transcendentals: score =
+    // tf * N / df as one exact division (ln() is libm-dependent and
+    // not bitwise-reproducible across engines). Top term per document
+    // by (score, term) — the keyword-extraction primitive.
+    "term_tfidf" -> ((s, dir) => {
+      val docs = spread(s, t(s, dir, "documents"))
+      val total = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      val toks = docs.select(col("doc_id"),
+        explode(words(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val byScore = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(total)
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rn", row_number().over(byScore))
+        .filter(col("rn") === 1)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Distinct word-5-gram shingles per doc (mirrors graft_shingles5). */
@@ -255,6 +358,92 @@ object Pipeline2Queries {
         |)
         |SELECT doc_id, n_chars FROM r
         |WHERE (rn - 1) * 20 <= (n - 1) * 19
+        |ORDER BY doc_id""".stripMargin,
+
+    "ann_pq_topk" -> {
+      val sq = (a: String, b: String) =>
+        s"""list_sum(list_transform(range(1, 9), i ->
+           |      (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+           |      (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+      s"""WITH sv AS (
+         |  SELECT vec_id, s.sub,
+         |    embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS subv
+         |  FROM embeddings, (SELECT unnest(range(0, 8)) AS sub) s
+         |),
+         |anch AS (
+         |  SELECT CAST(vec_id AS INT) AS cid, sub, subv AS av
+         |  FROM sv WHERE vec_id < 16
+         |),
+         |d AS (
+         |  SELECT v.vec_id, v.sub, a.cid,
+         |    ${sq("v.subv", "a.av")} AS d2
+         |  FROM sv v JOIN anch a ON v.sub = a.sub
+         |),
+         |codes AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2, cid) AS rn
+         |    FROM d
+         |  ) WHERE rn = 1
+         |),
+         |adc AS (
+         |  SELECT a.sub, a.cid,
+         |    ${sq("p.subv", "a.av")} AS pd
+         |  FROM anch a JOIN sv p ON p.sub = a.sub AND p.vec_id = 0
+         |)
+         |SELECT c.vec_id, list_sum(list(pd ORDER BY c.sub)) AS adist
+         |FROM codes c JOIN adc ON c.sub = adc.sub AND c.code = adc.cid
+         |WHERE c.vec_id <> 0
+         |GROUP BY c.vec_id
+         |ORDER BY adist ASC, vec_id ASC
+         |LIMIT 10""".stripMargin
+    },
+
+    "stopword_discovery" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+        |    AS token
+        |  FROM documents
+        |),
+        |d AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT token, df, CAST(df AS DOUBLE) / n_docs AS df_ratio
+        |FROM d, n
+        |ORDER BY df DESC, token
+        |LIMIT 20""".stripMargin,
+
+    "sample_split" ->
+      """SELECT doc_id,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+        |  CASE
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |      THEN 'train'
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "term_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1
+        |),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC,
+        |        tf.term) AS rn
+        |  FROM tf JOIN df USING (term), n
+        |)
+        |SELECT doc_id, term, tf, df, score FROM s WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
   )
 }

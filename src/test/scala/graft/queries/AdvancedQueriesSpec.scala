@@ -105,6 +105,16 @@ class AdvancedQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q_tpch_q3/q10: bounded top-k with strictly ordered revenue") {
+    Seq("q_tpch_q3" -> 10, "q_tpch_q10" -> 20).foreach { case (q, k) =>
+      val rows = run(q).collect()
+      assert(rows.length <= k)
+      val revs = rows.map(r => r.getDouble(r.length - 1))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, q)
+      assert(revs.forall(_ > 0), q)
+    }
+  }
+
   test("q_salted_join equals the unsalted join") {
     val salted = run("q_salted_join").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

