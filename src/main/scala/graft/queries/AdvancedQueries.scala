@@ -229,6 +229,50 @@ object AdvancedQueries {
         .orderBy("tier")
     }),
 
+    // Interval join (the batch form of Flink's stream-stream interval
+    // join, the canonical upstream of the reference sink): purchases
+    // within the 10 minutes before each click, same user. Equi-join on
+    // the user key with the time band as a residual predicate — pairs
+    // are bounded per key by the interval width, so the join output is
+    // linear in input at any scale (unlike an unkeyed range join).
+    "q_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("us").as("c_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"),
+          col("value").as("p_value"))
+      val win = 10L * 60 * 1000000 // 10 min in micros
+      clicks.join(purchases,
+          Seq("user_id"), "left")
+        .withColumn("in_band",
+          col("p_us").isNotNull &&
+          col("p_us") <= col("c_us") && col("p_us") > col("c_us") - win)
+        .groupBy("user_id", "event_id")
+        .agg(sum(col("in_band").cast("long")).as("n_purchases_10m"),
+          dsum(when(col("in_band"), col("p_value"))).as("sum_purchases_10m"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // nth_value and IGNORE NULLS analytics: 3rd event value per user
+    // (running frame) and the first purchase value seen so far — the
+    // null-skipping window surface.
+    "q_window_nth" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("pv",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("third_value", nth_value(col("value"), 3).over(w))
+        .withColumn("first_purchase",
+          first(col("pv"), ignoreNulls = true).over(w))
+        .select("user_id", "event_id", "value", "third_value",
+          "first_purchase")
+        .orderBy("user_id", "event_id")
+    }),
+
     // TPC-H Q3 shape (shipping priority): selective dim filter broadcast
     // into a two-join star, revenue agg, global top-10. The canonical
     // "analytics dashboard" feed: only the filtered customer keys and
@@ -418,6 +462,37 @@ object AdvancedQueries {
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY d.tier
         |ORDER BY d.tier""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events
+        |),
+        |c AS (SELECT user_id, event_id, us AS c_us FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us AS p_us, value AS p_value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id,
+        |  CAST(SUM(CASE WHEN p.p_us IS NOT NULL AND p.p_us <= c.c_us
+        |    AND p.p_us > c.c_us - 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchases_10m,
+        |  CAST(SUM(CASE WHEN p.p_us IS NOT NULL AND p.p_us <= c.c_us
+        |    AND p.p_us > c.c_us - 600000000
+        |    THEN CAST(p.p_value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS sum_purchases_10m
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |GROUP BY c.user_id, c.event_id
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "q_window_nth" ->
+      """SELECT user_id, event_id, value,
+        |  nth_value(value, 3) OVER w AS third_value,
+        |  first_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER w AS first_purchase
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,

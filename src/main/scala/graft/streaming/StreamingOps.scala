@@ -93,6 +93,26 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join (Flink's interval join, the canonical
+    * upstream of the reference sink): left rows matched to right rows of
+    * the same key whose event time falls in [left.ts - lower, left.ts].
+    * Both sides carry watermarks so Spark bounds the join state — the
+    * same state-retention contract Flink derives from the interval
+    * bounds. Column requirements: both frames expose `user_id` and a
+    * timestamp column named by ts{Left,Right}.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      tsLeft: String, tsRight: String, watermark: String,
+      lower: String): DataFrame = {
+    val l = left.withWatermark(tsLeft, watermark)
+    val r = right.withWatermark(tsRight, watermark)
+    l.join(r,
+      l("user_id") === r("user_id") &&
+      r(tsRight) <= l(tsLeft) &&
+      r(tsRight) >= l(tsLeft) - expr(s"INTERVAL $lower"))
+      .drop(r("user_id"))
+  }
+
   /** stream_update_sink: session-window event counts per user emitted in
     * update mode — the retract/upsert-producing aggregation shape the
     * reference's README feeds into the sink (README.md:6-11).

@@ -105,6 +105,29 @@ class AdvancedQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q_interval_join: one row per click, counts bounded by purchases") {
+    val rows = run("q_interval_join").collect()
+    val e = graft.Tables(spark, sf0001, "events")
+    val nClicks = e.filter(col("event_type") === "click").count()
+    val nPurch = e.filter(col("event_type") === "purchase").count()
+    assert(rows.length == nClicks)
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= nPurch))
+    // a zero count carries a null sum; a positive count a non-null one
+    rows.foreach { r =>
+      assert((r.getLong(2) == 0) == r.isNullAt(3))
+    }
+  }
+
+  test("q_window_nth: exactly two rows per user precede the 3rd value") {
+    val rows = run("q_window_nth").collect()
+    // the running frame exposes nth_value(3) from the third TIME-ordered
+    // row on — so per user exactly min(2, n) rows carry a null
+    rows.groupBy(_.getLong(0)).values.foreach { ofUser =>
+      val nulls = ofUser.count(_.isNullAt(3))
+      assert(nulls == math.min(2, ofUser.size))
+    }
+  }
+
   test("q_tpch_q3/q10: bounded top-k with strictly ordered revenue") {
     Seq("q_tpch_q3" -> 10, "q_tpch_q10" -> 20).foreach { case (q, k) =>
       val rows = run(q).collect()

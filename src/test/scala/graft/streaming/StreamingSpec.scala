@@ -133,6 +133,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(latest == Map(1L -> 1L, 2L -> 0L)) // key1: +1+1-1, key2: +1-1
   }
 
+  test("stream-stream interval join matches only in-window purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF().withColumnRenamed("ts", "c_ts")
+        .withColumnRenamed("event_id", "c_id"),
+      purchases.toDF().withColumnRenamed("ts", "p_ts")
+        .withColumnRenamed("event_id", "p_id"),
+      tsLeft = "c_ts", tsRight = "p_ts",
+      watermark = "30 minutes", lower = "10 minutes")
+      .select("c_id", "p_id")
+    runToMemory(joined, "interval_out", "append")(
+      () => purchases.addData(Ev(100, ts(0), 1, 9.0), // 5 min before click
+        Ev(101, ts(30), 1, 9.0)),                     // 25 min after click
+      () => clicks.addData(Ev(1, ts(5), 1, 1.0)),
+      // advance both watermarks so the join state closes
+      () => { clicks.addData(Ev(2, ts(59), 9, 1.0))
+              purchases.addData(Ev(102, ts(59), 9, 9.0)) })
+    val got = spark.table("interval_out").orderBy("c_id", "p_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // click 1 matches only purchase 100 (within [ts-10m, ts]); the
+    // purchase 25 min later never matches; the watermark rows match
+    // each other (same instant)
+    assert(got.toSeq == Seq((1L, 100L), (2L, 102L)))
+  }
+
   test("stream_update_sink: session-window counts (append on close)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
