@@ -229,6 +229,58 @@ object AdvancedQueries {
         .orderBy("tier")
     }),
 
+    // Centered/trailing ROWS-frame moving average (3 rows) — the frame
+    // variant q_window_running_sum/q_window_range_frame don't cover.
+    "q_moving_avg" -> ((s, dir) => {
+      val d = DecimalType(18, 2)
+      val w = Window.partitionBy("user_id")
+        .orderBy("us", "event_id").rowsBetween(-2, 0)
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("mavg3",
+          (sum(col("value").cast(d)).over(w).cast("double") /
+            count(lit(1)).over(w)))
+        .select("user_id", "event_id", "value", "mavg3")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Year-over-year revenue delta: yearly aggregate + lag — the
+    // two-level (aggregate, then window over aggregates) shape.
+    "q_yoy_revenue" -> ((s, dir) => {
+      val w = Window.orderBy("yr")
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("yoy_delta", col("revenue") - col("prev_revenue"))
+        .orderBy("yr")
+    }),
+
+    // Fixed-width value histogram — the profile/telemetry shape.
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy("bucket")),
+
+    // EXISTS / NOT IN written as SQL subqueries (the textual surface a
+    // Flink SQL job would use; Catalyst rewrites both to semi/anti
+    // joins — same plans as q_semi_join/q_anti_join, different syntax).
+    "q_exists_subquery" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_v
+        WHERE EXISTS (SELECT 1 FROM orders_v
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 400000)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders_v
+                                WHERE o_orderstatus = 'P')
+        ORDER BY c_custkey""")
+    }),
+
     // Interval join (the batch form of Flink's stream-stream interval
     // join, the canonical upstream of the reference sink): purchases
     // within the 10 minutes before each click, same user. Equi-join on
@@ -462,6 +514,42 @@ object AdvancedQueries {
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY d.tier
         |ORDER BY d.tier""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS mavg3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_yoy_revenue" ->
+      """WITH y AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT yr, revenue, n_orders,
+        |  LAG(revenue) OVER (ORDER BY yr) AS prev_revenue,
+        |  revenue - LAG(revenue) OVER (ORDER BY yr) AS yoy_delta
+        |FROM y ORDER BY yr""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_totalprice > 400000)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_interval_join" ->
       """WITH e AS (

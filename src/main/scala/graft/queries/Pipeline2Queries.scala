@@ -234,6 +234,30 @@ object Pipeline2Queries {
         .select("doc_id", "h", "split")
         .orderBy("doc_id")),
 
+    // Vocabulary coverage: build a top-20 token vocabulary (by corpus
+    // frequency) and measure per-document coverage — the feasibility
+    // check before tokenizer training. Counts are exact integers; the
+    // ratio is one double division. The vocab is a broadcast semi-join
+    // side; per-doc work is a token explode, linear in corpus size.
+    "vocab_coverage" -> ((s, dir) => {
+      val docs = spread(s, t(s, dir, "documents"))
+      val toks = docs.select(col("doc_id"),
+        explode(words(col("text"))).as("token"))
+      val vocab = broadcast(toks.groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20).select("token"))
+      val inVocab = toks.join(vocab, Seq("token"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_in_vocab"))
+      toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+        .join(inVocab, Seq("doc_id"), "left")
+        .withColumn("n_in_vocab", coalesce(col("n_in_vocab"), lit(0L)))
+        .withColumn("coverage",
+          col("n_in_vocab").cast("double") / col("n_tokens"))
+        .select("doc_id", "n_tokens", "n_in_vocab", "coverage")
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF-style term weighting without transcendentals: score =
     // tf * N / df as one exact division (ln() is libm-dependent and
     // not bitwise-reproducible across engines). Top term per document
@@ -423,6 +447,30 @@ object Pipeline2Queries {
         |    ELSE 'test' END AS split
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+        |    ORDER BY cnt DESC, token LIMIT 20
+        |  )
+        |),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+        |inv AS (
+        |  SELECT doc_id, COUNT(*) AS n_in_vocab FROM tok
+        |  WHERE token IN (SELECT token FROM vocab)
+        |  GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.n_tokens,
+        |  COALESCE(i.n_in_vocab, 0) AS n_in_vocab,
+        |  CAST(COALESCE(i.n_in_vocab, 0) AS DOUBLE) / t.n_tokens
+        |    AS coverage
+        |FROM tot t LEFT JOIN inv i ON t.doc_id = i.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "term_tfidf" ->
       """WITH tok AS (

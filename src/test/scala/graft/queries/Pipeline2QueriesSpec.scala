@@ -101,6 +101,19 @@ class Pipeline2QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("vocab_coverage: one row per doc, coverage in (0, 1]") {
+    val rows = run("vocab_coverage").collect()
+    val n = graft.Tables(spark, sf0001, "documents").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // in_vocab <= total
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0)
+    }
+    // the 31-word synthetic vocabulary means a 20-token vocab covers
+    // most tokens of most docs
+    assert(rows.count(_.getDouble(3) > 0.5) > rows.length / 2)
+  }
+
   test("doc_len_p95 keeps ~95% of docs and drops the longest") {
     val kept = run("doc_len_p95").collect()
     val docs = graft.Tables(spark, sf0001, "documents")
