@@ -48,6 +48,8 @@ object TextExpressions {
       exprs => ShingleArray(exprs.head, n = 5), "built-in")
     reg.createOrReplaceTempFunction("graft_poly_hash",
       exprs => StringPolyHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinhashSignature(exprs.head), "built-in")
   }
 }
 
@@ -212,6 +214,68 @@ case class MinhashBandKeys(child: Expression,
       }
     } // else: no shingles -> all band keys null (see scaladoc)
     new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** The 8 MinHash values themselves as lowercase hex strings — the
+  * signature MinhashBandKeys condenses into band keys, exposed for
+  * signature-agreement Jaccard estimation. Identical per-hash semantics
+  * (mh_j = min over shingles of md5("<j>:" + s)); empty shingle set
+  * yields 8 nulls (array_min over empty -> null).
+  */
+case class MinhashSignature(child: Expression, numHashes: Int = 8)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val md =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
+  @transient private lazy val prefixes =
+    Array.tabulate(numHashes)(j => s"$j:".getBytes("UTF-8"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = this.md.get()
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val sBytes = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < numHashes) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(sBytes)
+          val d = md.digest()
+          if (mins(j) == null ||
+              java.util.Arrays.compareUnsigned(d, mins(j)) < 0) {
+            mins(j) = d
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      if (mins(j) != null)
+        out(j) = UTF8String.fromBytes(TextExpressions.hex(mins(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -234,6 +234,101 @@ object Pipeline2Queries {
         .select("doc_id", "h", "split")
         .orderBy("doc_id")),
 
+    // Transitive dedup clusters: connected components over the
+    // MinHash-LSH near-dup pair graph, labels = min doc_id per
+    // component. Pregel-style min-label propagation — each iteration is
+    // one distributed join (edges are tiny next to docs), the driver
+    // only checks convergence. The fixed point is iteration-order
+    // independent, so the result is deterministic; the oracle computes
+    // the same closure with a recursive CTE. This is the step that
+    // turns pairwise near-dup hits into droppable duplicate groups.
+    "dedup_cc_labels" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      // near-dup edges: LSH candidates confirmed at Jaccard >= 0.5
+      // (same construction as dedup_minhash_pairs)
+      val docs = spread(s, t(s, dir, "documents"))
+        .withColumn("sh", call_function("graft_shingles", col("text")))
+      val bands = docs
+        .select(col("doc_id"),
+          posexplode(call_function("graft_minhash_bands", col("sh")))
+            .as(Seq("band_idx", "band_key")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val sa = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      val sb = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+      val edges = sa.join(broadcast(cand), "a_id").join(sb, "b_id")
+        .withColumn("inter", interSize(col("sh_a"), col("sh_b")))
+        .filter(col("inter") / (size(col("sh_a")) + size(col("sh_b"))
+          - col("inter")) >= 0.5)
+        .select("a_id", "b_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bidir = edges.union(
+          edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // min-label propagation to the fixed point
+      var labels = t(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      while (!converged) {
+        val viaNeighbors = bidir
+          .join(labels, bidir("b_id") === labels("doc_id"))
+          .groupBy(col("a_id").as("doc_id"))
+          .agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = next.join(labels.withColumnRenamed("lbl", "old"),
+          "doc_id").filter(col("lbl") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+      }
+      labels.withColumn("is_dup",
+          (col("doc_id") =!= col("lbl")).cast("int"))
+        .select(col("doc_id"), col("lbl").as("cluster_id"), col("is_dup"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash accuracy audit: estimated Jaccard (signature agreement /
+    // 8 hashes) against the exact shingle Jaccard for every LSH
+    // candidate pair — the error measurement that justifies the
+    // signature size. Both metrics are exact rationals in doubles.
+    "minhash_estimate" -> ((s, dir) => {
+      val docs = spread(s, t(s, dir, "documents"))
+        .withColumn("sh", call_function("graft_shingles", col("text")))
+      val sigs = docs.select(col("doc_id"), col("sh"),
+        call_function("graft_minhash_sig", col("sh")).as("sig"))
+      val bands = docs.select(col("doc_id"),
+        posexplode(call_function("graft_minhash_bands", col("sh")))
+          .as(Seq("band_idx", "band_key")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val aa = sigs.select(col("doc_id").as("a_id"),
+        col("sh").as("sh_a"), col("sig").as("sig_a"))
+      val bb = sigs.select(col("doc_id").as("b_id"),
+        col("sh").as("sh_b"), col("sig").as("sig_b"))
+      aa.join(broadcast(cand), "a_id").join(bb, "b_id")
+        .withColumn("n_agree",
+          size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), b => b)))
+        .withColumn("est_jacc", col("n_agree") / lit(8))
+        .withColumn("inter", interSize(col("sh_a"), col("sh_b")))
+        .withColumn("exact_jacc", col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .select("a_id", "b_id", "n_agree", "est_jacc", "exact_jacc")
+        .orderBy("a_id", "b_id")
+    }),
+
     // Vocabulary coverage: build a top-20 token vocabulary (by corpus
     // frequency) and measure per-document coverage — the feasibility
     // check before tokenizer training. Counts are exact integers; the
@@ -447,6 +542,103 @@ object Pipeline2Queries {
         |    ELSE 'test' END AS split
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // The recursive CTE enumerates every (node, reachable-node) pair of
+    // the near-dup graph; MIN over reachables == the propagation fixed
+    // point. Edge derivation mirrors dedup_minhash_pairs exactly.
+    "dedup_cc_labels" -> {
+      val mh = (0 until 8).map(j =>
+        s"list_min(list_transform(s, x -> md5('$j:' || x))) AS mh$j")
+        .mkString(",\n    ")
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(ws[i:i+2], ' ')
+         |      for i in range(1, len(ws)-1)]) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents)
+         |),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $mh
+         |  FROM sh
+         |),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id
+         |),
+         |edges AS (
+         |  SELECT a_id, b_id FROM cand
+         |  JOIN sh sa ON sa.doc_id = a_id
+         |  JOIN sh sb ON sb.doc_id = b_id
+         |  WHERE len(list_intersect(sa.s, sb.s)) /
+         |    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+         |    >= 0.5
+         |),
+         |bidir AS (
+         |  SELECT a_id, b_id FROM edges
+         |  UNION ALL SELECT b_id, a_id FROM edges
+         |),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a_id, reach.r FROM reach JOIN bidir e
+         |    ON e.b_id = reach.id
+         |)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id,
+         |  CAST(id <> MIN(r) AS INT) AS is_dup
+         |FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "minhash_estimate" -> {
+      val mh = (0 until 8).map(j =>
+        s"list_min(list_transform(s, x -> md5('$j:' || x))) AS mh$j")
+        .mkString(",\n    ")
+      val agree = (0 until 8).map(j =>
+        s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(ws[i:i+2], ' ')
+         |      for i in range(1, len(ws)-1)]) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents)
+         |),
+         |sig AS (
+         |  SELECT doc_id, s,
+         |    $mh
+         |  FROM sh
+         |),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id
+         |)
+         |SELECT a_id, b_id,
+         |  CAST($agree AS INT) AS n_agree,
+         |  CAST($agree AS INT) / 8 AS est_jacc,
+         |  len(list_intersect(a.s, b.s)) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |    AS exact_jacc
+         |FROM cand
+         |JOIN sig a ON a.doc_id = a_id
+         |JOIN sig b ON b.doc_id = b_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "vocab_coverage" ->
       """WITH tok AS (

@@ -74,6 +74,21 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getSeq[String](0) == r.getSeq[String](1))
   }
 
+  test("MinhashSignature == declarative per-seed md5 min formulation") {
+    TextExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq("the fast key order sort table scan merge part window",
+        "a b") // fewer than 3 words -> empty shingles -> 8 nulls
+      .toDF("text")
+      .withColumn("sh", call_function("graft_shingles", col("text")))
+    val declared = array((0 until 8).map(j =>
+      TextFunctions.minhash(col("sh"), j)): _*)
+    df.select(call_function("graft_minhash_sig", col("sh")).as("fast"),
+        declared.as("ref")).collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("ArrayIntersectSize == size(array_intersect) on sorted-set input") {
     TextExpressions.register(spark)
     import spark.implicits._

@@ -101,6 +101,37 @@ class Pipeline2QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("dedup_cc_labels: cluster ids are component minima and closed " +
+      "over the pair relation") {
+    val labels = run("dedup_cc_labels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = graft.Tables(spark, sf0001, "documents").count()
+    assert(labels.size == n)
+    // every cluster id is a member of its own cluster and <= all members
+    labels.foreach { case (doc, cl) =>
+      assert(cl <= doc)
+      assert(labels(cl) == cl, s"cluster rep $cl not its own rep")
+    }
+    // closure: both ends of every confirmed pair share a label
+    val pairs = PipelineQueries.queries("dedup_minhash_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("minhash_estimate: estimates bracket reality on candidate pairs") {
+    val rows = run("minhash_estimate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nAgree, est, exact) =
+        (r.getInt(2), r.getDouble(3), r.getDouble(4))
+      assert(nAgree >= 1 && nAgree <= 8) // candidates share >= 1 band
+      assert(est == nAgree / 8.0)
+      assert(exact >= 0 && exact <= 1)
+    }
+  }
+
   test("vocab_coverage: one row per doc, coverage in (0, 1]") {
     val rows = run("vocab_coverage").collect()
     val n = graft.Tables(spark, sf0001, "documents").count()
