@@ -325,6 +325,56 @@ object AdvancedQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // TPC-H Q5 shape (local supplier volume): the 6-table join with the
+    // extra co-nationality condition between customer and supplier —
+    // the deepest join tree in the suite; all dims broadcast, the fact
+    // table streams through once.
+    "q_tpch_q5" -> ((s, dir) => {
+      val d = DecimalType(18, 2)
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey") &&
+          col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast(d) *
+            (lit(1).cast(d) - col("l_discount").cast(d)))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): semi-join against a
+    // HAVING-filtered aggregate subquery, then re-aggregate.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sumq"))
+        .filter(col("sumq") > 150)
+        .select("l_orderkey")
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"),
+          max(col("o_totalprice")).as("o_totalprice"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q3 shape (shipping priority): selective dim filter broadcast
     // into a two-join star, revenue agg, global top-10. The canonical
     // "analytics dashboard" feed: only the filtered customer keys and
@@ -581,6 +631,41 @@ object AdvancedQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        |)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_qty,
+        |  MAX(o_totalprice) AS o_totalprice
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY c_custkey, c_name, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,

@@ -133,6 +133,35 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(latest == Map(1L -> 1L, 2L -> 0L)) // key1: +1+1-1, key2: +1-1
   }
 
+  test("file-source streaming: parquet ingest through agg into the sink") {
+    // end-to-end: readStream over a parquet directory (the 100 TB ingest
+    // shape), per-user counts in update mode, foreachBatch into the
+    // buffered sink — the full pipeline a production deployment runs
+    import org.apache.spark.sql.functions.{col, count, lit}
+    CollectingSink.clear()
+    val src = java.nio.file.Files.createTempDirectory("graft-fstream")
+    import spark.implicits._
+    Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("user_id", "value")
+      .coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema("user_id LONG, value DOUBLE")
+      .parquet(src.toString)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val opts = GraftSinkOptions.fromMap(Map(
+      "url" -> "clickhouse://localhost:8123", "table-name" -> "t"))
+    val q = stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sink.ClickHouseStyleWriter.write(batch, opts,
+          primaryKey = Seq("user_id"), numShards = 1,
+          new CollectingSink.Exec(_))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = CollectingSink.all.flatMap(_._2)
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows == Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("stream-stream interval join matches only in-window purchases") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
