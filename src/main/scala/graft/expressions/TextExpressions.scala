@@ -36,6 +36,39 @@ object TextExpressions {
     out
   }
 
+  /** Per-seed MinHash minima as raw md5 digests: mins(j) = min over
+    * array elements of md5(prefix_j ++ bytes), null-safe per element,
+    * all-null result for an empty array. Shared by MinhashBandKeys and
+    * MinhashSignature so the signature and the band keys can never
+    * diverge.
+    */
+  private[expressions] def minhashMins(arr: ArrayData, md: MessageDigest,
+      prefixes: Array[Array[Byte]]): Array[Array[Byte]] = {
+    val numHashes = prefixes.length
+    val n = arr.numElements()
+    val mins = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val sBytes = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < numHashes) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(sBytes)
+          val d = md.digest()
+          if (mins(j) == null ||
+              java.util.Arrays.compareUnsigned(d, mins(j)) < 0) {
+            mins(j) = d
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash_bands",
@@ -176,28 +209,8 @@ case class MinhashBandKeys(child: Expression,
 
   override def nullSafeEval(input: Any): Any = {
     val md = this.md.get()
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = new Array[Array[Byte]](numHashes)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val sBytes = arr.getUTF8String(i).getBytes
-        var j = 0
-        while (j < numHashes) {
-          md.reset()
-          md.update(prefixes(j))
-          md.update(sBytes)
-          val d = md.digest()
-          if (mins(j) == null ||
-              java.util.Arrays.compareUnsigned(d, mins(j)) < 0) {
-            mins(j) = d
-          }
-          j += 1
-        }
-      }
-      i += 1
-    }
+    val mins = TextExpressions.minhashMins(
+      input.asInstanceOf[ArrayData], md, prefixes)
     val numBands = numHashes / bandSize
     val bands = new Array[Any](numBands)
     if (mins(0) != null) {
@@ -246,28 +259,8 @@ case class MinhashSignature(child: Expression, numHashes: Int = 8)
 
   override def nullSafeEval(input: Any): Any = {
     val md = this.md.get()
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = new Array[Array[Byte]](numHashes)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val sBytes = arr.getUTF8String(i).getBytes
-        var j = 0
-        while (j < numHashes) {
-          md.reset()
-          md.update(prefixes(j))
-          md.update(sBytes)
-          val d = md.digest()
-          if (mins(j) == null ||
-              java.util.Arrays.compareUnsigned(d, mins(j)) < 0) {
-            mins(j) = d
-          }
-          j += 1
-        }
-      }
-      i += 1
-    }
+    val mins = TextExpressions.minhashMins(
+      input.asInstanceOf[ArrayData], md, prefixes)
     val out = new Array[Any](numHashes)
     var j = 0
     while (j < numHashes) {

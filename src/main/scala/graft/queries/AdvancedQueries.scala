@@ -295,14 +295,16 @@ object AdvancedQueries {
         .select(col("user_id"), col("us").as("p_us"),
           col("value").as("p_value"))
       val win = 10L * 60 * 1000000 // 10 min in micros
+      // the band lives IN the join condition: out-of-band pairs are
+      // rejected during the join, so output stays linear (a click with
+      // no in-band purchase survives as a single null-padded row)
       clicks.join(purchases,
-          Seq("user_id"), "left")
-        .withColumn("in_band",
-          col("p_us").isNotNull &&
-          col("p_us") <= col("c_us") && col("p_us") > col("c_us") - win)
-        .groupBy("user_id", "event_id")
-        .agg(sum(col("in_band").cast("long")).as("n_purchases_10m"),
-          dsum(when(col("in_band"), col("p_value"))).as("sum_purchases_10m"))
+          clicks("user_id") === purchases("user_id") &&
+          col("p_us") <= col("c_us") && col("p_us") > col("c_us") - win,
+          "left")
+        .groupBy(clicks("user_id"), col("event_id"))
+        .agg(count(col("p_us")).as("n_purchases_10m"),
+          dsum(col("p_value")).as("sum_purchases_10m"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -611,14 +613,11 @@ object AdvancedQueries {
         |p AS (SELECT user_id, us AS p_us, value AS p_value FROM e
         |      WHERE event_type = 'purchase')
         |SELECT c.user_id, c.event_id,
-        |  CAST(SUM(CASE WHEN p.p_us IS NOT NULL AND p.p_us <= c.c_us
-        |    AND p.p_us > c.c_us - 600000000 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_purchases_10m,
-        |  CAST(SUM(CASE WHEN p.p_us IS NOT NULL AND p.p_us <= c.c_us
-        |    AND p.p_us > c.c_us - 600000000
-        |    THEN CAST(p.p_value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  COUNT(p.p_us) AS n_purchases_10m,
+        |  CAST(SUM(CAST(p.p_value AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_purchases_10m
         |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.p_us <= c.c_us AND p.p_us > c.c_us - 600000000
         |GROUP BY c.user_id, c.event_id
         |ORDER BY c.user_id, c.event_id""".stripMargin,
 

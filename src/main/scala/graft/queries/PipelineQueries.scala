@@ -22,7 +22,7 @@ import graft.functions.VectorFunctions._
   */
 object PipelineQueries {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+  private[queries] def t(s: SparkSession, dir: String, n: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     graft.expressions.TextExpressions.register(s)
     Tables(s, dir, n)
@@ -32,7 +32,7 @@ object PipelineQueries {
   private def bandKeys(sh: Column): Column =
     call_function("graft_minhash_bands", sh)
 
-  private def interSize(a: Column, b: Column): Column =
+  private[queries] def interSize(a: Column, b: Column): Column =
     call_function("graft_array_intersect_size", a, b)
 
   /** documents/embeddings are small single-file parquets — one scan
@@ -43,7 +43,7 @@ object PipelineQueries {
     * cost-wise (AQE coalesces), but the intent — parallelize CPU-bound
     * row work — is the same.
     */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+  private[queries] def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
   /** Optimization fence: Catalyst pushes a post-join threshold filter into
@@ -54,8 +54,66 @@ object PipelineQueries {
     * projects), so expressions below the fence are computed exactly once.
     * The fence column is dropped immediately; results are unchanged.
     */
-  private def fence(df: DataFrame): DataFrame =
+  private[queries] def fence(df: DataFrame): DataFrame =
     df.withColumn("__fence", monotonically_increasing_id())
+
+  /** 16-bit SimHash per doc from md5-nibble bits of distinct words —
+    * shared by dedup_simhash and the Hamming-pair query (the blocking
+    * columns ride along; they are functionally dependent on doc_id so
+    * the extra grouping keys change nothing).
+    */
+  private[queries] def simhashed(s: SparkSession, dir: String): DataFrame = {
+    val exploded = spread(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(words(col("text")))).as("wd"))
+      .withColumn("hh", md5(col("wd")))
+    val withNibs = (1 to 4).foldLeft(exploded) { (df, p) =>
+      df.withColumn(s"n$p", md5Nibble(col("hh"), p))
+    }
+    val bitSums = (0 until 16).map { i =>
+      sum(shiftright(col(s"n${i / 4 + 1}"), i % 4)
+        .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
+    }
+    withNibs.groupBy("doc_id", "lang", "source")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 16).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select("doc_id", "lang", "source", "simhash")
+  }
+
+  /** DuckDB CTE chain ending in `sim(doc_id, lang, source, simhash)` —
+    * the oracle mirror of [[simhashed]].
+    */
+  private[queries] val simhashCte: String = {
+    val nibs = (1 to 4).map(p =>
+      s"strpos('0123456789abcdef', substring(hh, $p, 1)) - 1 AS n$p")
+      .mkString(",\n    ")
+    val sums = (0 until 16).map(i =>
+      s"SUM((((n${i / 4 + 1} >> ${i % 4}) & 1) * 2 - 1)) AS s$i")
+      .mkString(",\n    ")
+    val hash = (0 until 16).map(i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""w AS (
+       |  SELECT doc_id, lang, source,
+       |    unnest(list_distinct(string_split(text, ' '))) AS wd
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, lang, source, md5(wd) AS hh FROM w
+       |), n AS (
+       |  SELECT doc_id, lang, source,
+       |    $nibs
+       |  FROM h
+       |), sums AS (
+       |  SELECT doc_id, lang, source,
+       |    $sums
+       |  FROM n GROUP BY doc_id, lang, source
+       |), sim AS (
+       |  SELECT doc_id, lang, source, CAST($hash AS BIGINT) AS simhash
+       |  FROM sums
+       |)""".stripMargin
+  }
 
   /** Language marker words (from the synthetic 31-word vocabulary) used by
     * the n-gram-heuristic language ID. Arbitrary but fixed; the oracle SQL
@@ -244,27 +302,12 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
-    // 16-bit SimHash from md5-nibble bits of distinct words.
-    "dedup_simhash" -> ((s, dir) => {
-      val exploded = spread(s, t(s, dir, "documents"))
-        .select(col("doc_id"),
-          explode(array_distinct(words(col("text")))).as("wd"))
-        .withColumn("hh", md5(col("wd")))
-      val withNibs = (1 to 4).foldLeft(exploded) { (df, p) =>
-        df.withColumn(s"n$p", md5Nibble(col("hh"), p))
-      }
-      val bitSums = (0 until 16).map { i =>
-        sum(shiftright(col(s"n${i / 4 + 1}"), i % 4)
-          .bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
-      }
-      val sums = withNibs.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      sums.withColumn("simhash",
-          (0 until 16).map(i =>
-            when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ + _))
+    // 16-bit SimHash from md5-nibble bits of distinct words (shared
+    // construction: see simhashed).
+    "dedup_simhash" -> ((s, dir) =>
+      simhashed(s, dir)
         .select("doc_id", "simhash")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // n-gram Jaccard near-dup pairs, blocked by (lang, source) so the
     // pair count stays ~(block size)^2 * #blocks, not n^2.
@@ -586,32 +629,9 @@ object PipelineQueries {
          |FROM j WHERE inter / (la + lb - inter) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
-    "dedup_simhash" -> {
-      val nibs = (1 to 4).map(p =>
-        s"strpos('0123456789abcdef', substring(hh, $p, 1)) - 1 AS n$p")
-        .mkString(",\n    ")
-      val sums = (0 until 16).map(i =>
-        s"SUM((((n${i / 4 + 1} >> ${i % 4}) & 1) * 2 - 1)) AS s$i")
-        .mkString(",\n    ")
-      val hash = (0 until 16).map(i =>
-        s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-      s"""WITH w AS (
-         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS wd
-         |  FROM documents
-         |), h AS (
-         |  SELECT doc_id, md5(wd) AS hh FROM w
-         |), n AS (
-         |  SELECT doc_id,
-         |    $nibs
-         |  FROM h
-         |), sums AS (
-         |  SELECT doc_id,
-         |    $sums
-         |  FROM n GROUP BY doc_id
-         |)
-         |SELECT doc_id, CAST($hash AS BIGINT) AS simhash
-         |FROM sums ORDER BY doc_id""".stripMargin
-    },
+    "dedup_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,

@@ -69,16 +69,25 @@ class BufferedRetryWriter(
     }
   }
 
+  private var executorClosed = false
+
   def close(): Unit = {
     flush()
-    executor.close()
+    closeWithoutFlush()
   }
 
   /** Release the executor WITHOUT flushing — for protocols where the
     * flush point is an explicit commit (DSv2): after a task abort, close
-    * must not push the leftover buffer to the sink.
+    * must not push the leftover buffer to the sink. Idempotent: the
+    * error path may call this after close() already reached (and
+    * possibly failed inside) executor.close(), and a second teardown of
+    * a broken connection must not mask the original failure.
     */
-  def closeWithoutFlush(): Unit = executor.close()
+  def closeWithoutFlush(): Unit =
+    if (!executorClosed) {
+      executorClosed = true
+      executor.close()
+    }
 
   def bufferedCount: Int = buffer.size
   def flushCount: Long = flushes

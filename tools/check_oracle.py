@@ -56,10 +56,12 @@ def compare(exp, got):
     # flag kind divergence (int vs decimal vs float vs string ...).
     def kind(t):
         s = str(t)
-        if s.startswith(("int", "uint")):
-            return "int"
+        # int128 (hugeint) must be checked BEFORE the int-width prefix
+        # match — it is exactly the kind divergence this check exists for
         if s.startswith("decimal") or s == "int128":
             return "decimal"
+        if s.startswith(("int", "uint")):
+            return "int"
         return s
     for c in ecols:
         et = exp.schema.field(c).type
