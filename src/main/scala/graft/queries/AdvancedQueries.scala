@@ -281,6 +281,35 @@ object AdvancedQueries {
         ORDER BY c_custkey""")
     }),
 
+    // Correlated LATERAL subquery with LIMIT: top-2 orders per customer
+    // without a window function — the per-row table-subquery surface.
+    "q_lateral_topn" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"${n}_lv"))
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_lv c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lv
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c.c_custkey, o.o_orderkey""")
+    }),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): user 0
+    // mapped to NULL on both sides still joins — the semantic the
+    // changelog PK join needs when keys carry explicit nulls.
+    "q_null_safe_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("k", when(col("user_id") === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")))
+      val dim = e.select(col("k")).distinct()
+        .withColumn("tier", coalesce(pmod(col("k"), lit(3)), lit(-1L)))
+      e.join(dim, e("k") <=> dim("k"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("tier")
+    }),
+
     // Interval join (the batch form of Flink's stream-stream interval
     // join, the canonical upstream of the reference sink): purchases
     // within the 10 minutes before each click, same user. Equi-join on
@@ -602,6 +631,27 @@ object AdvancedQueries {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
+
+    "q_null_safe_join" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN user_id = 0 THEN NULL ELSE user_id END AS k
+        |  FROM events
+        |),
+        |dim AS (
+        |  SELECT k, COALESCE(k % 3, -1) AS tier FROM (SELECT DISTINCT k FROM e)
+        |)
+        |SELECT d.tier, COUNT(*) AS n
+        |FROM e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+        |GROUP BY d.tier
+        |ORDER BY d.tier""".stripMargin,
 
     "q_interval_join" ->
       """WITH e AS (

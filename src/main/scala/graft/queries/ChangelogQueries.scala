@@ -81,6 +81,30 @@ object ChangelogQueries {
           orderCol = "event_id", batchSize = 1000)
         .groupBy("batch_idx").agg(count(lit(1)).as("n"))
         .orderBy("batch_idx")),
+
+    // Changelog normalization (Flink's ChangelogNormalize, the operator
+    // that feeds a retract stream into this sink): an upsert stream —
+    // each event the next version of its key — expanded to the full
+    // I / -U,+U changelog the collapsing executor consumes (R10). First
+    // version emits I; every later version emits the retraction of the
+    // previous value then the new one.
+    "changelog_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(byUser))
+        .select(col("user_id"), col("event_id"),
+          posexplode(
+            when(col("prev_value").isNull,
+              array(struct(lit("I").as("op"), col("value").as("v"))))
+            .otherwise(array(
+              struct(lit("-U").as("op"), col("prev_value").as("v")),
+              struct(lit("+U").as("op"), col("value").as("v")))))
+            .as(Seq("emit_idx", "r")))
+        .select(col("user_id"), col("event_id"), col("emit_idx"),
+          col("r.op").as("op"), col("r.v").as("value"))
+        .orderBy("user_id", "event_id", "emit_idx")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -142,5 +166,22 @@ object ChangelogQueries {
         |)
         |SELECT batch_idx, COUNT(*) AS n FROM b
         |GROUP BY batch_idx ORDER BY batch_idx""".stripMargin,
+
+    "changelog_normalize" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, value,
+        |    LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS prev_value
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, 0 AS emit_idx, 'I' AS op, value
+        |FROM v WHERE prev_value IS NULL
+        |UNION ALL
+        |SELECT user_id, event_id, 0, '-U', prev_value
+        |FROM v WHERE prev_value IS NOT NULL
+        |UNION ALL
+        |SELECT user_id, event_id, 1, '+U', value
+        |FROM v WHERE prev_value IS NOT NULL
+        |ORDER BY user_id, event_id, emit_idx""".stripMargin,
   )
 }
