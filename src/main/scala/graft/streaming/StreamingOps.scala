@@ -18,6 +18,10 @@ import graft.sink.{ClickHouseStyleWriter, GraftSinkOptions, StatementExecutor}
 /** One changelog record in the keyed-state stream. */
 case class ChangeRecord(key: Long, op: String, value: Double)
 
+/** A changelog record with event time (for timer-based state expiry). */
+case class TimedChange(key: Long, op: String, value: Double,
+    ts: java.sql.Timestamp)
+
 /** Live collapsing net state for one key. */
 case class NetState(key: Long, net: Long)
 
@@ -111,6 +115,44 @@ object StreamingOps {
       r(tsRight) <= l(tsLeft) &&
       r(tsRight) >= l(tsLeft) - expr(s"INTERVAL $lower"))
       .drop(r("user_id"))
+  }
+
+  /** Keyed state with an event-time TIMER (Flink ProcessFunction timer
+    * parity): per-key running net that emits a FINAL record only when
+    * the watermark passes last-event-time + gap — the state expires and
+    * the result is released exactly once, like a Flink timer callback.
+    * Input rows: (key, op, value, eventTime).
+    */
+  def expiringNetState(
+      changelog: org.apache.spark.sql.Dataset[TimedChange], gapMs: Long)
+      : org.apache.spark.sql.Dataset[NetState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = changelog.sparkSession
+    import spark.implicits._
+    changelog
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .as[TimedChange]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, NetState](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, records: Iterator[TimedChange],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // the timer fired: release the final net and drop the state
+            val net = state.getOption.getOrElse(0L)
+            state.remove()
+            Iterator(NetState(key, net))
+          } else {
+            val rs = records.toSeq
+            val delta = rs.map(r =>
+              if (r.op == "I" || r.op == "+U") 1L else -1L).sum
+            state.update(state.getOption.getOrElse(0L) + delta)
+            // (re)arm the timer at max-event-time + gap
+            val maxTs = rs.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(maxTs + gapMs)
+            Iterator.empty
+          }
+      }
   }
 
   /** stream_update_sink: session-window event counts per user emitted in

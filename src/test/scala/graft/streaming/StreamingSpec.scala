@@ -190,6 +190,26 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq((1L, 100L), (2L, 102L)))
   }
 
+  test("event-time timer expires keyed state and emits the final net") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[TimedChange]
+    val net = StreamingOps.expiringNetState(mem.toDS(), gapMs = 5 * 60000)
+    runToMemory(net.toDF(), "expire_out", "append")(
+      () => mem.addData(TimedChange(1, "I", 1.0, ts(0)),
+        TimedChange(1, "+U", 1.0, ts(1)),
+        TimedChange(2, "I", 5.0, ts(1)),
+        TimedChange(2, "D", 5.0, ts(2))),
+      // watermark far past key 1 and 2's timers -> both expire
+      () => mem.addData(TimedChange(9, "I", 0.0, ts(59))),
+      // one more batch so the timer fires on the advanced watermark
+      () => mem.addData(TimedChange(9, "I", 0.0, ts(59))))
+    val got = spark.table("expire_out").orderBy("key")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // finals released exactly once per expired key: 1 -> +1+1, 2 -> +1-1
+    assert(got.toSeq == Seq((1L, 2L), (2L, 0L)))
+  }
+
   test("stream_update_sink: session-window counts (append on close)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
