@@ -281,6 +281,21 @@ object AdvancedQueries {
         ORDER BY c_custkey""")
     }),
 
+    // Higher-order array functions over token arrays: lambda filter /
+    // transform / exists / aggregate — the codegen-friendly surface that
+    // replaces per-row UDFs.
+    "q_higher_order_funcs" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(ws, w => length(w) > 5)).as("n_long_tokens"),
+          array_max(transform(ws, w => length(w))).as("max_token_len"),
+          exists(ws, _ === "spark").cast("int").as("mentions_spark"),
+          aggregate(transform(ws, w => length(w)), lit(0),
+            (acc, x) => acc + x).as("total_token_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Correlated LATERAL subquery with LIMIT: top-2 orders per customer
     // without a window function — the per-row table-subquery surface.
     "q_lateral_topn" -> ((s, dir) => {
@@ -631,6 +646,20 @@ object AdvancedQueries {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_higher_order_funcs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(ws, w -> length(w) > 5)) AS INT)
+        |    AS n_long_tokens,
+        |  CAST(list_max(list_transform(ws, w -> length(w))) AS INT)
+        |    AS max_token_len,
+        |  CAST(list_contains(ws, 'spark') AS INT) AS mentions_spark,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS INT)
+        |    AS total_token_chars
+        |FROM w
+        |ORDER BY doc_id""".stripMargin,
 
     "q_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
