@@ -309,6 +309,11 @@ object Pipeline2Queries {
       t(s, dir, "documents")
         .withColumn("n_bytes", octet_length(col("text")))
         .withColumn("n_chunks", expr("(n_bytes + 999) div 1000"))
+        // zero-byte payloads plan zero chunks: without this guard,
+        // sequence(0, -1) infers a NEGATIVE step and yields [0, -1] —
+        // two bogus rows where the oracle's range(0, 0) yields none
+        // (same trap as TextFunctions.shingles' short-doc guard)
+        .filter(col("n_bytes") > 0)
         .select(col("doc_id"), col("n_bytes"),
           posexplode(sequence(lit(0L), col("n_chunks") - 1))
             .as(Seq("chunk_idx", "chunk_no")))

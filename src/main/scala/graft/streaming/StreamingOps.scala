@@ -27,6 +27,12 @@ case class NetState(key: Long, net: Long)
 
 object StreamingOps {
 
+  /** Changelog op -> collapsing sign (R10): I/+U add, -U/D retract —
+    * the ONE definition shared by every keyed-state net computation.
+    */
+  def opSign(op: String): Long =
+    if (op == "I" || op == "+U") 1L else -1L
+
   /** stream_append_sink / stream_count_time_trigger: a changelog stream
     * written through the full sink path on every micro-batch; the trigger
     * interval carries the reference's flush-interval semantics.
@@ -89,8 +95,7 @@ object StreamingOps {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: Long, records: Iterator[ChangeRecord],
          state: GroupState[Long]) =>
-          val delta = records.map(r =>
-            if (r.op == "I" || r.op == "+U") 1L else -1L).sum
+          val delta = records.map(r => StreamingOps.opSign(r.op)).sum
           val net = state.getOption.getOrElse(0L) + delta
           state.update(net)
           Iterator(NetState(key, net))
@@ -130,25 +135,31 @@ object StreamingOps {
     val spark = changelog.sparkSession
     import spark.implicits._
     changelog
-      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      // milliseconds verbatim: integer seconds would truncate the
+      // allowed lateness below the timer gap (0s for sub-second gaps)
+      .withWatermark("ts", s"$gapMs milliseconds")
       .as[TimedChange]
       .groupByKey(_.key)
-      .flatMapGroupsWithState[Long, NetState](
+      // state = (net, max event time seen) — the timer must always be
+      // armed from the MAX ts across batches: re-arming from only the
+      // current batch would let a late-but-valid out-of-order record
+      // pull an armed timer earlier and expire the session before
+      // last-event-time + gap
+      .flatMapGroupsWithState[(Long, Long), NetState](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: Long, records: Iterator[TimedChange],
-         state: GroupState[Long]) =>
+         state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) {
             // the timer fired: release the final net and drop the state
-            val net = state.getOption.getOrElse(0L)
+            val net = state.getOption.map(_._1).getOrElse(0L)
             state.remove()
             Iterator(NetState(key, net))
           } else {
             val rs = records.toSeq
-            val delta = rs.map(r =>
-              if (r.op == "I" || r.op == "+U") 1L else -1L).sum
-            state.update(state.getOption.getOrElse(0L) + delta)
-            // (re)arm the timer at max-event-time + gap
-            val maxTs = rs.map(_.ts.getTime).max
+            val delta = rs.map(r => StreamingOps.opSign(r.op)).sum
+            val (net0, maxTs0) = state.getOption.getOrElse((0L, 0L))
+            val maxTs = math.max(maxTs0, rs.map(_.ts.getTime).max)
+            state.update((net0 + delta, maxTs))
             state.setTimeoutTimestamp(maxTs + gapMs)
             Iterator.empty
           }

@@ -51,9 +51,13 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkSuite {
     // partial aggregation below the exchange: map-side combine present
     assert(p.contains("HashAggregate"))
     assert(p.contains("sha2"))
-    // text column must not appear in the exchange's output schema
-    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
-    assert(exchangeIdx > 0)
+    // the exchange partitions on the computed hash column — the raw
+    // text column must not ride through the shuffle
+    val exchangeLines = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(exchangeLines.forall(!_.contains("text#")),
+      s"document body in shuffle key:\n${exchangeLines.mkString("\n")}")
   }
 
   test("similarity_knn_join broadcasts probes; no pairwise shuffle") {
