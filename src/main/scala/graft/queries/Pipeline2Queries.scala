@@ -323,6 +323,43 @@ object Pipeline2Queries {
         .select("doc_id", "chunk_idx", "offset", "chunk_len")
         .orderBy("doc_id", "chunk_idx")),
 
+    // Corpus-health dashboard: exact-duplicate rate per (lang, source)
+    // — the partition-level metric that decides which sources get
+    // dropped or re-crawled. Reuses the content-hash window; the
+    // shuffle key stays the 64-char hash.
+    "dup_rate_by_source" -> ((s, dir) => {
+      val byHash = Window.partitionBy(sha2(col("text"), 256))
+      t(s, dir, "documents")
+        .withColumn("is_dup",
+          (col("doc_id") =!= min(col("doc_id")).over(byHash)).cast("long"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).as("n_dups"),
+          (sum(col("is_dup")).cast("double") / count(lit(1)))
+            .as("dup_rate"))
+        .orderBy("lang", "source")
+    }),
+
+    // Quality filter funnel: how many docs survive each successive
+    // gate (min length -> min tokens -> lexical diversity) — the
+    // observability readout every filtering pipeline reports. One scan,
+    // conditional sums, exact integers.
+    "filter_funnel" -> ((s, dir) => {
+      val ws = words(col("text"))
+      val g1 = col("n_chars") >= 100
+      val g2 = size(ws) >= 30
+      val g3 = (size(array_distinct(ws)).cast("double") / size(ws)) >= 0.3
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(g1.cast("long")).as("n_len_ok"),
+          sum((g1 && g2).cast("long")).as("n_tok_ok"),
+          sum((g1 && g2 && g3).cast("long")).as("n_diverse_ok"),
+          (sum((g1 && g2 && g3).cast("long")).cast("double") /
+            count(lit(1))).as("keep_rate"))
+        .orderBy("lang")
+    }),
+
     // Vocabulary coverage: build a top-20 token vocabulary (by corpus
     // frequency) and measure per-document coverage — the feasibility
     // check before tokenizer training. Counts are exact integers; the
@@ -619,6 +656,37 @@ object Pipeline2Queries {
         |    AS chunk_len
         |FROM b
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "dup_rate_by_source" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY sha256(text))
+        |      AS BIGINT) AS is_dup
+        |  FROM documents
+        |)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+        |  CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
+        |FROM d GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "filter_funnel" ->
+      """WITH g AS (
+        |  SELECT lang,
+        |    CAST(n_chars >= 100 AS BIGINT) AS g1,
+        |    CAST(len(string_split(text, ' ')) >= 30 AS BIGINT) AS g2,
+        |    CAST(CAST(len(list_distinct(string_split(text, ' ')))
+        |        AS DOUBLE) / len(string_split(text, ' ')) >= 0.3
+        |      AS BIGINT) AS g3
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(g1) AS BIGINT) AS n_len_ok,
+        |  CAST(SUM(g1 * g2) AS BIGINT) AS n_tok_ok,
+        |  CAST(SUM(g1 * g2 * g3) AS BIGINT) AS n_diverse_ok,
+        |  CAST(SUM(g1 * g2 * g3) AS DOUBLE) / COUNT(*) AS keep_rate
+        |FROM g GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "vocab_coverage" ->
       """WITH tok AS (

@@ -145,6 +145,23 @@ class Pipeline2QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.count(_.getDouble(3) > 0.5) > rows.length / 2)
   }
 
+  test("dup_rate_by_source: rates bounded, dups consistent with totals") {
+    run("dup_rate_by_source").collect().foreach { r =>
+      val (n, dups, rate) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(dups <= n)
+      assert(math.abs(rate - dups.toDouble / n) < 1e-12)
+    }
+  }
+
+  test("filter_funnel: monotonically shrinking gate counts") {
+    run("filter_funnel").collect().foreach { r =>
+      val (total, g1, g2, g3) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(g1 <= total && g2 <= g1 && g3 <= g2)
+      assert(r.getDouble(5) == g3.toDouble / total)
+    }
+  }
+
   test("doc_len_p95 keeps ~95% of docs and drops the longest") {
     val kept = run("doc_len_p95").collect()
     val docs = graft.Tables(spark, sf0001, "documents")
