@@ -369,15 +369,19 @@ object Pipeline2Queries {
       val docs = spread(s, t(s, dir, "documents"))
       val toks = docs.select(col("doc_id"),
         explode(words(col("text"))).as("token"))
-      val vocab = broadcast(toks.groupBy("token")
-        .agg(count(lit(1)).as("cnt"))
+      // aggregate the explode ONCE into per-(doc, term) counts; the
+      // vocab ranking, the per-doc totals, and the in-vocab sums all
+      // derive from this small table instead of re-exploding the corpus
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val vocab = broadcast(tf.groupBy("token")
+        .agg(sum(col("tf")).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
-        .limit(20).select("token"))
-      val inVocab = toks.join(vocab, Seq("token"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_in_vocab"))
-      toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-        .join(inVocab, Seq("doc_id"), "left")
-        .withColumn("n_in_vocab", coalesce(col("n_in_vocab"), lit(0L)))
+        .limit(20).select("token").withColumn("in_v", lit(1)))
+      tf.join(vocab, Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          coalesce(sum(when(col("in_v") === 1, col("tf"))), lit(0L))
+            .as("n_in_vocab"))
         .withColumn("coverage",
           col("n_in_vocab").cast("double") / col("n_tokens"))
         .select("doc_id", "n_tokens", "n_in_vocab", "coverage")
@@ -393,12 +397,15 @@ object Pipeline2Queries {
       val total = broadcast(docs.agg(count(lit(1)).as("n_docs")))
       val toks = docs.select(col("doc_id"),
         explode(words(col("text"))).as("term"))
+      // ONE explode + ONE aggregation; df falls out of tf as a window
+      // count (tf already holds exactly one row per (doc, term)), so
+      // the corpus is never exploded a second time and nothing needs
+      // caching
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = toks.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
       val byScore = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
-      tf.join(df, "term").crossJoin(total)
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(total)
         .withColumn("score",
           (col("tf") * col("n_docs")).cast("double") / col("df"))
         .withColumn("rn", row_number().over(byScore))
