@@ -281,6 +281,18 @@ object AdvancedQueries {
         ORDER BY c_custkey""")
     }),
 
+    // Explicit shuffle-hash join hint: for two large same-key tables
+    // where sort-merge's sort is pure overhead and neither side
+    // broadcasts — the third join strategy, requested explicitly.
+    "q_shuffle_hash_join" -> ((s, dir) =>
+      t(s, dir, "orders").hint("shuffle_hash")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus")),
+
     // Higher-order array functions over token arrays: lambda filter /
     // transform / exists / aggregate — the codegen-friendly surface that
     // replaces per-row UDFs.
@@ -646,6 +658,14 @@ object AdvancedQueries {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_shuffle_hash_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_higher_order_funcs" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -323,6 +323,16 @@ object Pipeline2Queries {
         .select("doc_id", "chunk_idx", "offset", "chunk_len")
         .orderBy("doc_id", "chunk_idx")),
 
+    // PII scrubbing: digit runs in the JSON payload masked to '#'
+    // before the text ever leaves the pipeline — the redaction pass a
+    // training corpus runs before tokenization. Pure regex, one scan.
+    "pii_mask" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("masked"),
+          regexp_count(col("props"), lit("[0-9]+")).as("n_masked_runs"))
+        .orderBy("event_id")),
+
     // Corpus-health dashboard: exact-duplicate rate per (lang, source)
     // — the partition-level metric that decides which sources get
     // dropped or re-crawled. Reuses the content-hash window; the
@@ -663,6 +673,14 @@ object Pipeline2Queries {
         |    AS chunk_len
         |FROM b
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "pii_mask" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT)
+        |    AS n_masked_runs
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "dup_rate_by_source" ->
       """WITH d AS (

@@ -46,6 +46,13 @@ object StatementFactory {
       s" DELETE WHERE $cond"
   }
 
+  /** Overwrite support (beyond the reference, which is append-only):
+    * ClickHouse's TRUNCATE TABLE, with the same ON CLUSTER variant as
+    * the mutation statements.
+    */
+  def truncate(tableName: String, clusterName: Option[String]): String =
+    s"TRUNCATE TABLE ${quoteIdentifier(tableName)}${onCluster(clusterName)}"
+
   def rowExists(tableName: String, conditionFields: Seq[String]): String = {
     val cond = conditionFields.map(f => s"${quoteIdentifier(f)}=?")
       .mkString(" AND ")

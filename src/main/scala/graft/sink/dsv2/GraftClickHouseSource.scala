@@ -58,7 +58,8 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
   // both paths (the Spark analog of the reference's changelog-accepting
   // sink declaration, ClickHouseDynamicTableSink.getChangelogMode:23-38)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // factory-time validation (R1): bad options fail the plan, not the job
@@ -72,13 +73,25 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
 }
 
 class GraftWriteBuilder(options: GraftSinkOptions, pk: Seq[String],
-    executorKind: String, schema: StructType) extends WriteBuilder {
+    executorKind: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  /** mode("overwrite") / streaming complete mode: truncate-then-append
+    * (the ClickHouse TRUNCATE TABLE statement; an extension past the
+    * reference, which is append-only).
+    */
+  override def truncate(): WriteBuilder = {
+    doTruncate = true
+    this
+  }
 
   override def build(): Write = {
     // R2 at plan time: a changelog input (op column) needs a PK
     graft.sink.WriteMode.validateChangelog(pk.nonEmpty,
       insertOnlyStream = !schema.fieldNames.contains("op"))
-    new GraftWrite(options, pk, executorKind, schema)
+    new GraftWrite(options, pk, executorKind, schema, doTruncate)
   }
 }
 
@@ -89,7 +102,8 @@ class GraftWriteBuilder(options: GraftSinkOptions, pk: Seq[String],
   * ClickHouseShardOutputFormat.java:72-81).
   */
 class GraftWrite(options: GraftSinkOptions, pk: Seq[String],
-    executorKind: String, schema: StructType)
+    executorKind: String, schema: StructType,
+    truncateFirst: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -116,7 +130,7 @@ class GraftWrite(options: GraftSinkOptions, pk: Seq[String],
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def toBatch: BatchWrite = new GraftBatchWrite(
-    options, pk, executorKind, schema)
+    options, pk, executorKind, schema, truncateFirst)
 
   override def toStreaming: streaming.StreamingWrite =
     new GraftStreamingWrite(options, pk, executorKind, schema)
@@ -146,11 +160,28 @@ class GraftStreamingWrite(options: GraftSinkOptions, pk: Seq[String],
 }
 
 class GraftBatchWrite(options: GraftSinkOptions, pk: Seq[String],
-    executorKind: String, schema: StructType) extends BatchWrite {
+    executorKind: String, schema: StructType,
+    truncateFirst: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, once, before any writer task: the truncate half of
+    // truncate-then-append overwrite
+    if (truncateFirst) executorKind match {
+      case "memory" => MemorySinkRegistry.clear()
+      case _ =>
+        val conn = java.sql.DriverManager.getConnection(
+          graft.sink.ShardTopology.urlForShard(options, 0),
+          options.username.orNull, options.password.orNull)
+        try {
+          val st = conn.createStatement()
+          try st.execute(graft.sink.StatementFactory.truncate(
+            options.tableName, Some(options.clusterName)))
+          finally st.close()
+        } finally conn.close()
+    }
     new GraftDataWriterFactory(options, pk, executorKind, schema)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 

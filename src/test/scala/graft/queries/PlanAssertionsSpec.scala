@@ -60,6 +60,10 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkSuite {
       s"document body in shuffle key:\n${exchangeLines.mkString("\n")}")
   }
 
+  test("q_shuffle_hash_join honors the shuffle-hash hint") {
+    assert(plan("q_shuffle_hash_join").contains("ShuffledHashJoin"))
+  }
+
   test("similarity_knn_join broadcasts probes; no pairwise shuffle") {
     val p = plan("similarity_knn_join")
     assert(p.contains("BroadcastNestedLoopJoin") ||

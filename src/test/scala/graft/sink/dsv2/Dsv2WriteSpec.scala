@@ -203,6 +203,22 @@ class Dsv2WriteSpec extends AnyFunSuite with SparkSuite {
     assert(MemorySinkRegistry.all.flatMap(_._2).size == 3)
   }
 
+  test("mode(overwrite) truncates then appends (SupportsTruncate)") {
+    MemorySinkRegistry.clear()
+    import spark.implicits._
+    def write(rows: Seq[(Long, Double)], mode: String): Unit =
+      rows.toDF("k", "v").coalesce(1).write.format("clickhouse-style")
+        .option("url", "clickhouse://localhost:8123")
+        .option("table-name", "t_ovr")
+        .option("graft.executor", "memory")
+        .mode(mode).save()
+    write(Seq((1L, 1.0), (2L, 2.0)), "append")
+    assert(MemorySinkRegistry.all.flatMap(_._2).size == 2)
+    write(Seq((9L, 9.0)), "overwrite")
+    val rows = MemorySinkRegistry.all.flatMap(_._2)
+    assert(rows.size == 1 && rows.head.getLong(0) == 9L)
+  }
+
   test("missing table-name rejected") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "name")
