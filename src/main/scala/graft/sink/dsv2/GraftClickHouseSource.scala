@@ -132,8 +132,18 @@ class GraftWrite(options: GraftSinkOptions, pk: Seq[String],
   override def toBatch: BatchWrite = new GraftBatchWrite(
     options, pk, executorKind, schema, truncateFirst)
 
-  override def toStreaming: streaming.StreamingWrite =
+  override def toStreaming: streaming.StreamingWrite = {
+    // Spark only requests truncate on a STREAMING write for Complete
+    // output mode, which would need per-epoch transactional replacement —
+    // impossible under this sink's at-least-once append contract. Fail
+    // at analysis with the workaround rather than silently appending
+    // duplicate epochs.
+    if (truncateFirst) throw new UnsupportedOperationException(
+      "clickhouse-style streaming sink does not support Complete output " +
+        "mode (per-epoch truncate); use update/append mode, or " +
+        "foreachBatch with mode(\"overwrite\") for replace-per-batch")
     new GraftStreamingWrite(options, pk, executorKind, schema)
+  }
 }
 
 /** Micro-batch streaming write: every epoch reuses the identical

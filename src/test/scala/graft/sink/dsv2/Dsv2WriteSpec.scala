@@ -219,6 +219,32 @@ class Dsv2WriteSpec extends AnyFunSuite with SparkSuite {
     assert(rows.size == 1 && rows.head.getLong(0) == 9L)
   }
 
+  test("streaming Complete mode rejected with a clear message") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val agg = mem.toDF().toDF("k", "v")
+      .groupBy("k").count()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt3").toString
+    val e = intercept[Exception] {
+      val q = agg.writeStream.format("clickhouse-style")
+        .outputMode("complete")
+        .option("url", "clickhouse://localhost:8123")
+        .option("table-name", "t_complete")
+        .option("graft.executor", "memory")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { mem.addData((1L, 1.0)); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("Complete output mode")), e.toString)
+  }
+
   test("missing table-name rejected") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "name")
