@@ -74,7 +74,12 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
 
 class GraftWriteBuilder(options: GraftSinkOptions, pk: Seq[String],
     executorKind: String, schema: StructType)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    // Update-mode streaming aggregations write their upsert rows as
+    // plain appends — exactly this sink's contract (changelog rides as
+    // data, idempotence delegated to versioned replace downstream).
+    // Same opt-in Spark's own Kafka/console sinks use.
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
 
   private var doTruncate = false
 
@@ -136,11 +141,11 @@ class GraftWrite(options: GraftSinkOptions, pk: Seq[String],
     // Spark only requests truncate on a STREAMING write for Complete
     // output mode, which would need per-epoch transactional replacement —
     // impossible under this sink's at-least-once append contract. Fail
-    // at analysis with the workaround rather than silently appending
-    // duplicate epochs.
+    // at stream start (before any epoch writes) with the workaround,
+    // rather than silently appending duplicate epochs.
     if (truncateFirst) throw new UnsupportedOperationException(
       "clickhouse-style streaming sink does not support Complete output " +
-        "mode (per-epoch truncate); use update/append mode, or " +
+        "mode (per-epoch truncate); use append or update mode, or " +
         "foreachBatch with mode(\"overwrite\") for replace-per-batch")
     new GraftStreamingWrite(options, pk, executorKind, schema)
   }
@@ -178,17 +183,8 @@ class GraftBatchWrite(options: GraftSinkOptions, pk: Seq[String],
     // driver-side, once, before any writer task: the truncate half of
     // truncate-then-append overwrite
     if (truncateFirst) executorKind match {
-      case "memory" => MemorySinkRegistry.clear()
-      case _ =>
-        val conn = java.sql.DriverManager.getConnection(
-          graft.sink.ShardTopology.urlForShard(options, 0),
-          options.username.orNull, options.password.orNull)
-        try {
-          val st = conn.createStatement()
-          try st.execute(graft.sink.StatementFactory.truncate(
-            options.tableName, Some(options.clusterName)))
-          finally st.close()
-        } finally conn.close()
+      case "memory" => MemorySinkRegistry.clearTable(options.tableName)
+      case _ => GraftBatchWrite.truncateWithRetry(options)
     }
     new GraftDataWriterFactory(options, pk, executorKind, schema)
   }
@@ -196,4 +192,42 @@ class GraftBatchWrite(options: GraftSinkOptions, pk: Seq[String],
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+object GraftBatchWrite {
+
+  /** TRUNCATE on the coordinator with the sink's retry contract (same
+    * linear 1000·attempt backoff as BufferedRetryWriter) and the same
+    * credential rule as JdbcStatementExecutor: credentials are sent
+    * only when BOTH username and password are configured — the two
+    * halves of one overwrite must authenticate identically.
+    */
+  private[dsv2] def truncateWithRetry(options: GraftSinkOptions): Unit = {
+    val url = graft.sink.ShardTopology.urlForShard(options, 0)
+    val sql = graft.sink.StatementFactory.truncate(
+      options.tableName, Some(options.clusterName))
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      try {
+        val conn = (options.username, options.password) match {
+          case (Some(u), Some(p)) =>
+            java.sql.DriverManager.getConnection(url, u, p)
+          case _ => java.sql.DriverManager.getConnection(url)
+        }
+        try {
+          val st = conn.createStatement()
+          try st.execute(sql) finally st.close()
+        } finally conn.close()
+        done = true
+      } catch {
+        case e: Exception =>
+          if (attempt > options.maxRetries)
+            throw new RuntimeException(
+              s"TRUNCATE failed after $attempt attempts", e)
+          Thread.sleep(1000L * attempt)
+      }
+    }
+  }
 }

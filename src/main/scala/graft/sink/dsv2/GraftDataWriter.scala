@@ -40,7 +40,8 @@ class GraftDataWriterFactory(options: GraftSinkOptions, pk: Seq[String],
       insertFields.drop(dataFields.length).map(n =>
         StructField(n, IntegerType, nullable = false)))
     val executor: StatementExecutor = executorKind match {
-      case "memory" => new MemorySinkRegistry.Exec(partitionId)
+      case "memory" =>
+        new MemorySinkRegistry.Exec(options.tableName, partitionId)
       case _ => new JdbcStatementExecutor(
         ShardTopology.urlForShard(options, partitionId),
         StatementFactory.insertInto(options.tableName, insertFields),
@@ -125,15 +126,23 @@ object GraftDataWriter {
   * through a plain `.format("clickhouse-style")` write).
   */
 object MemorySinkRegistry {
-  val batches = new ConcurrentLinkedQueue[(Int, Seq[Row])]()
+  // keyed by table so truncating one table cannot wipe another's rows
+  val batches = new ConcurrentLinkedQueue[(String, Int, Seq[Row])]()
   def clear(): Unit = batches.clear()
+  def clearTable(table: String): Unit =
+    batches.removeIf(_._1 == table)
   def all: Seq[(Int, Seq[Row])] = {
     import scala.jdk.CollectionConverters._
-    batches.asScala.toSeq
+    batches.asScala.toSeq.map(e => (e._2, e._3))
+  }
+  def allFor(table: String): Seq[(Int, Seq[Row])] = {
+    import scala.jdk.CollectionConverters._
+    batches.asScala.toSeq.filter(_._1 == table).map(e => (e._2, e._3))
   }
 
-  class Exec(partition: Int) extends StatementExecutor {
+  class Exec(table: String, partition: Int) extends StatementExecutor {
+    def this(partition: Int) = this("", partition)
     override def executeBatch(rows: Seq[Row]): Unit =
-      batches.add((partition, rows))
+      batches.add((table, partition, rows))
   }
 }

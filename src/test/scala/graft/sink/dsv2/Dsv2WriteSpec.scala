@@ -219,6 +219,56 @@ class Dsv2WriteSpec extends AnyFunSuite with SparkSuite {
     assert(rows.size == 1 && rows.head.getLong(0) == 9L)
   }
 
+  test("update-mode streaming aggregation appends upsert rows " +
+      "(SupportsStreamingUpdateAsAppend)") {
+    MemorySinkRegistry.clear()
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count => fcount, col, lit}
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val agg = mem.toDF().toDF("k", "v")
+      .groupBy("k").agg(fcount(lit(1)).as("n"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt4").toString
+    val q = agg.writeStream.format("clickhouse-style")
+      .outputMode("update")
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t_upd")
+      .option("graft.executor", "memory")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 3.0))
+      q.processAllAvailable()
+      mem.addData((1L, 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = MemorySinkRegistry.allFor("t_upd").flatMap(_._2)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // epoch 1 emits (1,2),(2,1); epoch 2 emits the changed key only:
+    // (1,3) — the upsert stream, appended (latest version wins
+    // downstream via versioned replace)
+    assert(rows.sorted == Seq((1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+
+  test("overwrite of one table leaves other tables' rows intact") {
+    MemorySinkRegistry.clear()
+    import spark.implicits._
+    def write(table: String, rows: Seq[(Long, Double)], mode: String): Unit =
+      rows.toDF("k", "v").coalesce(1).write.format("clickhouse-style")
+        .option("url", "clickhouse://localhost:8123")
+        .option("table-name", table)
+        .option("graft.executor", "memory")
+        .mode(mode).save()
+    write("t_a", Seq((1L, 1.0)), "append")
+    write("t_b", Seq((2L, 2.0)), "append")
+    write("t_b", Seq((3L, 3.0)), "overwrite")
+    assert(MemorySinkRegistry.allFor("t_a").flatMap(_._2).size == 1)
+    val b = MemorySinkRegistry.allFor("t_b").flatMap(_._2)
+    assert(b.size == 1 && b.head.getLong(0) == 3L)
+  }
+
   test("streaming Complete mode rejected with a clear message") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
