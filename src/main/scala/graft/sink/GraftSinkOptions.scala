@@ -34,10 +34,21 @@ final case class GraftSinkOptions(
       * delete-dropping is hardcoded in the insert-only executor (R9).
       * Kept for option-surface parity.
       */
-    ignoreDelete: Boolean = false) {
+    ignoreDelete: Boolean = false,
+    /** True only when the user set `cluster-name` themselves. Writers that
+      * follow the reference's convention (UpsertWriter) always emit
+      * ON CLUSTER with the default name, but new user-facing DDL paths
+      * (TRUNCATE for overwrite) must not assume a cluster exists on a
+      * single-node server — they consult [[explicitClusterName]].
+      */
+    clusterNameConfigured: Boolean = false) {
 
   def partitionKeys: Seq[String] =
     partitionKey.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** The cluster name only if explicitly configured; None otherwise. */
+  def explicitClusterName: Option[String] =
+    if (clusterNameConfigured) Some(clusterName) else None
 }
 
 object PartitionStrategy {
@@ -106,6 +117,7 @@ object GraftSinkOptions {
       writeLocalNodes = opts.get(WriteLocalNodes),
       partitionStrategy = strategy,
       partitionKey = opts.get(PartitionKey),
-      ignoreDelete = opts.get(IgnoreDelete).exists(_.toBoolean))
+      ignoreDelete = opts.get(IgnoreDelete).exists(_.toBoolean),
+      clusterNameConfigured = opts.contains(ClusterName))
   }
 }

@@ -78,7 +78,12 @@ class GraftWriteBuilder(options: GraftSinkOptions, pk: Seq[String],
     // Update-mode streaming aggregations write their upsert rows as
     // plain appends — exactly this sink's contract (changelog rides as
     // data, idempotence delegated to versioned replace downstream).
-    // Same opt-in Spark's own Kafka/console sinks use.
+    // Same opt-in Spark's own Kafka/console sinks use. NOTE: this trait
+    // is Spark-INTERNAL (org.apache.spark.sql.internal.connector), pinned
+    // against Spark 4.1.x — a Spark upgrade that renames or removes it
+    // breaks compilation here, and the update-mode streaming spec
+    // (Dsv2WriteSpec "update-mode streaming aggregation appends upsert
+    // rows") fails if its validation semantics change.
     with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
 
   private var doTruncate = false
@@ -174,6 +179,14 @@ class GraftStreamingWrite(options: GraftSinkOptions, pk: Seq[String],
       messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** Batch write. With `truncateFirst` (mode("overwrite")) the semantics are
+  * truncate-then-append and NON-ATOMIC: TRUNCATE runs driver-side before
+  * any writer task, so a job failure after the truncate leaves the table
+  * empty — `abort()` cannot restore the old rows (this sink is
+  * at-least-once with no transaction/2PC, like the reference,
+  * ClickHouseBatchExecutor.java:103-123). A failed overwrite requires
+  * re-running the job; a warning is logged when the truncate fires.
+  */
 class GraftBatchWrite(options: GraftSinkOptions, pk: Seq[String],
     executorKind: String, schema: StructType,
     truncateFirst: Boolean = false) extends BatchWrite {
@@ -182,9 +195,15 @@ class GraftBatchWrite(options: GraftSinkOptions, pk: Seq[String],
       info: PhysicalWriteInfo): DataWriterFactory = {
     // driver-side, once, before any writer task: the truncate half of
     // truncate-then-append overwrite
-    if (truncateFirst) executorKind match {
-      case "memory" => MemorySinkRegistry.clearTable(options.tableName)
-      case _ => GraftBatchWrite.truncateWithRetry(options)
+    if (truncateFirst) {
+      GraftBatchWrite.log.warn(
+        s"Overwrite of '${options.tableName}' is non-atomic " +
+          "(truncate-then-append): a job failure after this point leaves " +
+          "the table empty until the job is re-run")
+      executorKind match {
+        case "memory" => MemorySinkRegistry.clearTable(options.tableName)
+        case _ => GraftBatchWrite.truncateWithRetry(options)
+      }
     }
     new GraftDataWriterFactory(options, pk, executorKind, schema)
   }
@@ -196,16 +215,22 @@ class GraftBatchWrite(options: GraftSinkOptions, pk: Seq[String],
 
 object GraftBatchWrite {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftBatchWrite])
+
   /** TRUNCATE on the coordinator with the sink's retry contract (same
     * linear 1000·attempt backoff as BufferedRetryWriter) and the same
     * credential rule as JdbcStatementExecutor: credentials are sent
     * only when BOTH username and password are configured — the two
     * halves of one overwrite must authenticate identically.
+    *
+    * ON CLUSTER is emitted only when the user explicitly configured
+    * `cluster-name` — a single-node server has no 'default_cluster' and
+    * would reject the implicit default even though appends work.
     */
   private[dsv2] def truncateWithRetry(options: GraftSinkOptions): Unit = {
     val url = graft.sink.ShardTopology.urlForShard(options, 0)
     val sql = graft.sink.StatementFactory.truncate(
-      options.tableName, Some(options.clusterName))
+      options.tableName, options.explicitClusterName)
     var attempt = 0
     var done = false
     while (!done) {

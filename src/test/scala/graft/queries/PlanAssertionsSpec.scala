@@ -12,9 +12,24 @@ import graft.{SparkEntry, SparkSuite}
   */
 class PlanAssertionsSpec extends AnyFunSuite with SparkSuite {
 
+  import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.executedPlan.toString
+
+  /** All shuffle Exchange nodes in the plan TREE (descending through the
+    * AQE wrapper) — string-matching the rendered plan flakes on AQE
+    * formatting changes; operator nodes don't.
+    */
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+    case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+    case e: ShuffleExchangeLike => e +: p.children.flatMap(shuffles)
+    case _ => p.children.flatMap(shuffles)
+  }
 
   test("q_filter_project pushes predicates into the parquet scan") {
     val p = plan("q_filter_project")
@@ -36,10 +51,12 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("q_asof_join shuffles event data exactly once (plus output sort)") {
-    val p = plan("q_asof_join")
-    val hashExchanges = p.sliding("hashpartitioning".length)
-      .count(_ == "hashpartitioning")
-    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    val exec = SparkEntry.queries("q_asof_join")(spark, sf0001)
+      .queryExecution.executedPlan
+    val hashExchanges = shuffles(exec)
+      .count(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    assert(hashExchanges == 1,
+      s"expected 1 hash-partitioned exchange node, plan:\n$exec")
   }
 
   test("decontam_ngram broadcasts the benchmark gram set") {

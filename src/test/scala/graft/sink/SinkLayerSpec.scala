@@ -87,6 +87,17 @@ class SinkLayerSpec extends AnyFunSuite {
       "SELECT 1 FROM `t` WHERE `k`=?")
   }
 
+  test("truncate emits ON CLUSTER only when cluster-name was configured") {
+    assert(StatementFactory.truncate("t", Some("c1")) ==
+      "TRUNCATE TABLE `t` ON CLUSTER `c1`")
+    assert(StatementFactory.truncate("t", None) == "TRUNCATE TABLE `t`")
+    // the option layer: the implicit default_cluster must NOT leak into
+    // user-facing DDL on a single-node server
+    assert(GraftSinkOptions.fromMap(base).explicitClusterName.isEmpty)
+    assert(GraftSinkOptions.fromMap(base + ("cluster-name" -> "c1"))
+      .explicitClusterName.contains("c1"))
+  }
+
   // --- mode dispatch (R3: AbstractClickHouseOutputFormat.java:126-164) ---
 
   test("mode dispatch matrix") {
