@@ -25,7 +25,8 @@ object SparkEntry {
     RelationalQueries.queries ++
     PipelineQueries.queries ++
     AdvancedQueries.queries ++
-    Pipeline2Queries.queries
+    Pipeline2Queries.queries ++
+    Round3Queries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -35,5 +36,6 @@ object SparkEntry {
     RelationalQueries.oracle ++
     PipelineQueries.oracle ++
     AdvancedQueries.oracle ++
-    Pipeline2Queries.oracle
+    Pipeline2Queries.oracle ++
+    Round3Queries.oracle
 }

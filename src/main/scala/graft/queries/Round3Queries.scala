@@ -1,0 +1,449 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Round-3 additions: the remaining classic TPC-H query shapes
+  * (Q4/Q12/Q14/Q16/Q19/Q22 — EXISTS aggregation, case-sum over a join,
+  * single-row ratio, distinct-count with NOT IN, disjunctive join
+  * predicates, anti-join + scalar subquery), plus training-pipeline
+  * continuations: an embedding-cosine dedup DROP LIST (the consumable
+  * form of near-dup detection), overlapping token-window chunking,
+  * per-language stratified sampling, char-n-gram language profiles, a
+  * deterministic frame-sampling plan for multimodal media, and the
+  * regexp-extraction surface.
+  *
+  * Scale posture: every join is either broadcast (dims) or blocked (LSH
+  * sign buckets); chunking/sampling/profiling are single-scan + explode
+  * with no driver collection; all thresholds are integer or
+  * exact-decimal arithmetic so the DuckDB oracle matches bitwise.
+  */
+object Round3Queries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    graft.expressions.TextExpressions.register(s)
+    Tables(s, dir, n)
+  }
+
+  /** Exact sum of a 2-decimal double column, surfaced as DOUBLE. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  private val dec = DecimalType(18, 2)
+
+  /** l_extendedprice * (1 - l_discount) in exact decimals. */
+  private def discPrice: Column =
+    col("l_extendedprice").cast(dec) *
+      (lit(1).cast(dec) - col("l_discount").cast(dec))
+
+  private val lshDims = Seq(1, 17, 33, 49) // same probe dims as PipelineQueries
+
+  // chunking parameters: 20-token windows, stride 15 (5-token overlap)
+  private val chunkW = 20
+  private val chunkS = 15
+
+  // single trailing digit of c_name: 10 cohorts, so the qualifying set
+  // stays non-empty even at sf0.001 (two-digit codes left zero rows)
+  private val q22Codes = Seq("1", "2", "3", "4", "5")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q4 shape: orders with at least one late-shipped line item,
+    // counted per priority. The EXISTS is a semi join — lineitem never
+    // leaves its shuffle partition and duplicates never inflate counts.
+    "q_tpch_q4" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
+    // TPC-H Q12 shape: high/low-priority line counts per return flag
+    // (l_returnflag stands in for l_shipmode, which the synthetic
+    // lineitem lacks) — the two-way conditional-sum-over-join pattern.
+    "q_tpch_q12" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q14 shape: promo revenue share — a single-row ratio of two
+    // exact decimal sums over a broadcast part join. The division is the
+    // only FP op and runs once, identically, in both engines.
+    "q_tpch_q14" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast(dec))).cast("double").as("promo_rev"),
+          sum(discPrice).cast("double").as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          (col("promo_rev") * 100 / col("total_rev")).as("promo_pct"))),
+
+    // TPC-H Q16 shape: distinct suppliers per (brand, size) for selected
+    // sizes, excluding one brand and low-balance suppliers (NOT IN ->
+    // null-safe anti join; keys are non-null so it stays a plain anti).
+    "q_tpch_q16" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+            .filter(col("s_acctbal") < 2000)
+            .select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#3" &&
+              col("p_size").isin(1, 4, 7, 10, 13))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))),
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity bands INSIDE the
+    // join condition — the OR must not force a cartesian; part stays
+    // broadcast and each lineitem row probes once.
+    "q_tpch_q19" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30))))
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q22 shape: "country code" (trailing digit of the customer
+    // name) cohorts with above-average balance and no pending order —
+    // scalar aggregate subquery (broadcast single row) + anti join.
+    "q_tpch_q22" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("cntrycode", substring(col("c_name"), 18, 1))
+        .filter(col("cntrycode").isin(q22Codes: _*))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(dec)).cast("double") /
+          count(lit(1))).as("avgbal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avgbal"))
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
+    // Embedding-cosine near-dup DROP LIST: the consumable dedup artifact
+    // (dup -> keeper) rather than a pair list. Pairs come only from
+    // sign-LSH buckets (16-way blocking — the join that survives 100x);
+    // each duplicate keeps its smallest-id neighbor above the threshold.
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val n = t(s, dir, "embeddings")
+        .withColumn("nrm", normD(col("embedding")))
+        .withColumn("bucket", signBucket(col("embedding"), lshDims))
+      val a = n.select(col("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("bucket").as("bucket_b"),
+        col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(b, col("bucket") === col("bucket_b") &&
+          col("a_id") < col("b_id"))
+        .withColumn("sim",
+          dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .transform(PipelineQueries.fence)
+        .filter(col("sim") >= 0.3)
+        .groupBy(col("b_id").as("dup_id"))
+        .agg(min(col("a_id")).as("keep_id"),
+          max(col("sim")).as("best_sim"),
+          count(lit(1)).as("n_neighbors"))
+        .orderBy("dup_id")
+    }),
+
+    // Overlapping token-window chunking (context-window prep): W=20
+    // tokens, stride 15. Pure integer arithmetic + sequence explode —
+    // one scan, no shuffle until the output sort.
+    "doc_chunking" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("n_chunks",
+          when(col("n") <= chunkW, lit(1))
+            .otherwise(expr(s"((n - ${chunkW - chunkS + 1}) div $chunkS) + 1")))
+        .select(col("doc_id"), col("n"), col("toks"),
+          posexplode(sequence(lit(0), col("n_chunks") - 1))
+            .as(Seq("chunk_idx", "ci")))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * chunkS).as("start_tok"),
+          least(lit(chunkW), col("n") - col("chunk_idx") * chunkS)
+            .as("len_tok"),
+          element_at(col("toks"), col("chunk_idx") * chunkS + 1)
+            .as("first_tok"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Per-language stratified 10% sample: deterministic md5 ranking
+    // inside each stratum, ceil(n/10) kept — no RNG state, identical on
+    // every engine and every rerun.
+    "sample_stratified" -> ((s, dir) => {
+      val byLang = Window.partitionBy("lang")
+      t(s, dir, "documents")
+        .withColumn("h",
+          md5(concat(lit("strat:"), col("doc_id").cast("string"))))
+        .withColumn("rn",
+          row_number().over(byLang.orderBy(col("h"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(byLang))
+        .filter(col("rn") * 10 <= col("n") + 9)
+        .select("lang", "doc_id", "h", "rn")
+        .orderBy("lang", "rn")
+    }),
+
+    // Character-3-gram profile: top-5 grams per language over the first
+    // 100 chars of each doc — the support table a real n-gram language
+    // identifier trains from (lang_id uses fixed marker words).
+    "ngram_profile" -> ((s, dir) =>
+      PipelineQueries.spread(s, t(s, dir, "documents"))
+        .select(col("lang"), substring(col("text"), 1, 100).as("sp"))
+        .withColumn("len", length(col("sp")))
+        .select(col("lang"), explode(
+          when(col("len") < 3, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), col("len") - 2),
+              i => col("sp").substr(i, lit(3))))).as("gram"))
+        .groupBy("lang", "gram")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("n").desc, col("gram"))))
+        .filter(col("rnk") <= 5)
+        .select("lang", "rnk", "gram", "n")
+        .orderBy("lang", "rnk")),
+
+    // Deterministic frame-sampling plan for multimodal media: every
+    // 40 ms up to 16 frames per clip (n_chars*10 stands in for the
+    // clip's duration_ms — the real decoder is the stubbed mapInPandas
+    // seam in MultimodalOps; this is the plan it consumes).
+    "multimodal_frame_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), (col("n_chars") * 10).as("duration_ms"))
+        .withColumn("n_frames",
+          least(lit(16), expr("(duration_ms + 39) div 40")))
+        .select(col("doc_id"), col("duration_ms"), col("n_frames"),
+          posexplode(sequence(lit(0L), col("n_frames") - 1))
+            .as(Seq("frame_idx", "fi")))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * 40).as("ts_ms"), col("duration_ms"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Regexp extraction surface: all vowel-initial words per doc
+    // (regexp_extract_all with a capture-group index), plus derived
+    // stats — the BPE-ish regex tokenization path.
+    "q_regexp_funcs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("vw", regexp_extract_all(col("text"),
+          lit("(^| )([aeiou][a-z]*)"), lit(2)))
+        .filter(size(col("vw")) > 0)
+        .select(col("doc_id"), size(col("vw")).as("n_vowel_words"),
+          element_at(col("vw"), 1).as("first_vw"),
+          array_max(transform(col("vw"), w => length(w))).as("max_vw_len"))
+        .orderBy("doc_id"))
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private val discSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val oracle: Map[String, String] = Map(
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= o_orderdate
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_tpch_q14" ->
+      s"""WITH j AS (
+         |  SELECT p_type, $discSql AS dp
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |), a AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN dp
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+         |    CAST(SUM(dp) AS DOUBLE) AS total_rev
+         |  FROM j
+         |)
+         |SELECT promo_rev, total_rev,
+         |  promo_rev * 100 / total_rev AS promo_pct
+         |FROM a""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_size IN (1, 4, 7, 10, 13)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch_q22" -> {
+      val codes = q22Codes.map(c => s"'$c'").mkString(", ")
+      s"""WITH cust AS (
+         |  SELECT *, substring(c_name, 18, 1) AS cntrycode FROM customer
+         |  WHERE substring(c_name, 18, 1) IN ($codes)
+         |), avgbal AS (
+         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |    / COUNT(*) AS v
+         |  FROM cust WHERE c_acctbal > 0.0
+         |)
+         |SELECT cntrycode, COUNT(*) AS numcust,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS totacctbal
+         |FROM cust, avgbal
+         |WHERE c_acctbal > v AND NOT EXISTS (
+         |  SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         |GROUP BY cntrycode
+         |ORDER BY cntrycode""".stripMargin
+    },
+
+    "dedup_embedding_cosine" -> {
+      val bucket = lshDims.zipWithIndex.map { case (d, j) =>
+        s"(CASE WHEN embedding[$d] > 0 " +
+          s"THEN ${1 << (lshDims.length - 1 - j)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+         |    $bucket AS bucket
+         |  FROM embeddings
+         |), p AS (
+         |  SELECT b.vec_id AS dup_id, a.vec_id AS a_id,
+         |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+         |  FROM n a JOIN n b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT dup_id, MIN(a_id) AS keep_id, MAX(sim) AS best_sim,
+         |  COUNT(*) AS n_neighbors
+         |FROM p WHERE sim >= 0.3
+         |GROUP BY dup_id
+         |ORDER BY dup_id""".stripMargin
+    },
+
+    "doc_chunking" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n, toks,
+         |    unnest(range(0, CASE WHEN n <= $chunkW THEN 1
+         |      ELSE (n - ${chunkW - chunkS + 1}) // $chunkS + 1 END))
+         |      AS chunk_idx
+         |  FROM d
+         |)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(chunk_idx * $chunkS AS INT) AS start_tok,
+         |  CAST(least($chunkW, n - chunk_idx * $chunkS) AS INT) AS len_tok,
+         |  toks[CAST(chunk_idx * $chunkS + 1 AS INT)] AS first_tok
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id, h,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM d
+        |)
+        |SELECT lang, doc_id, h, rn FROM r
+        |WHERE rn * 10 <= n + 9
+        |ORDER BY lang, rn""".stripMargin,
+
+    "ngram_profile" ->
+      """WITH d AS (
+        |  SELECT lang, substring(text, 1, 100) AS sp FROM documents
+        |), g AS (
+        |  SELECT lang,
+        |    unnest(list_transform(range(1, length(sp) - 1),
+        |      i -> substring(sp, CAST(i AS INT), 3))) AS gram
+        |  FROM d
+        |), c AS (
+        |  SELECT lang, gram, COUNT(*) AS n FROM g GROUP BY lang, gram
+        |), r AS (
+        |  SELECT lang, gram, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n DESC, gram) AS rnk
+        |  FROM c
+        |)
+        |SELECT lang, rnk, gram, n FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars * 10 AS duration_ms,
+        |    least(16, (n_chars * 10 + 39) // 40) AS n_frames
+        |  FROM documents
+        |)
+        |SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx,
+        |  unnest(range(0, n_frames)) * 40 AS ts_ms, duration_ms
+        |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_regexp_funcs" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '(^| )([aeiou][a-z]*)', 2) AS vw
+        |  FROM documents
+        |)
+        |SELECT doc_id, len(vw) AS n_vowel_words, vw[1] AS first_vw,
+        |  list_max(list_transform(vw, w -> length(w))) AS max_vw_len
+        |FROM v WHERE len(vw) > 0
+        |ORDER BY doc_id""".stripMargin
+  )
+}
