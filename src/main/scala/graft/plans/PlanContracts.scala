@@ -1,0 +1,40 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Regenerates the committed plan-signature contract after an INTENDED
+  * plan change:
+  *
+  *   sbt "runMain graft.plans.PlanContracts"
+  *
+  * then review the diff of src/test/resources/plan-contracts.tsv — every
+  * changed line is a query whose shuffle/broadcast/cartesian posture
+  * moved, and the diff review is the moment to ask whether that was the
+  * point of the change. The session config mirrors SparkSuite (local[4],
+  * 4 shuffle partitions) so the spec reproduces identical plans.
+  */
+object PlanContracts {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("src/test/resources/plan-contracts.tsv")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-plan-contracts")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) =>
+      s"$n\t${PlanSignature.of(f(spark, "/root/testdata/sf0.001"))}"
+    }
+    Files.createDirectories(Paths.get(out).getParent)
+    Files.write(Paths.get(out), (lines.mkString("\n") + "\n").getBytes)
+    println(s"[plan-contracts] wrote ${lines.size} signatures to $out")
+    spark.stop()
+  }
+}
