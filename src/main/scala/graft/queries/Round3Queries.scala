@@ -245,6 +245,45 @@ object Round3Queries {
           (col("frame_idx") * 40).as("ts_ms"), col("duration_ms"))
         .orderBy("doc_id", "frame_idx")),
 
+    // KMV (k-minimum-values) distinct-count sketch, k=64: unlike HLL,
+    // fully deterministic — the estimate is (k-1)*2^32 / (k-th smallest
+    // 32-bit hash), so the oracle can check it bitwise. The mergeable
+    // at-scale form: each partition keeps its k smallest hashes, the
+    // union's k smallest give the global estimate; here the per-group
+    // k-th min falls out of one row_number window over distinct hashes.
+    "q_kmv_distinct" -> ((s, dir) => {
+      val u = conv(substring(md5(col("l_partkey").cast("string")), 1, 8),
+        16, 10).cast("long")
+      val byFlag = Window.partitionBy("l_returnflag")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), u.as("u")).distinct()
+        .withColumn("rn", row_number().over(byFlag.orderBy("u")))
+        .withColumn("n_distinct", count(lit(1)).over(byFlag))
+        .filter(col("rn") === 64)
+        .select(col("l_returnflag"), col("n_distinct"),
+          col("u").as("kth_min"),
+          (lit((63L * 4294967296L).toDouble) / col("u"))
+            .as("est_distinct"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Complex-type surface: JSON -> struct (from_json), struct field
+    // access, map construction + lookup, map_keys — flattened back to
+    // scalars so the oracle checks the round-tripped values.
+    "q_complex_types" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("js", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .withColumn("k", col("js").getField("k"))
+        .withColumn("m", map(lit("k"), col("k"), lit("2k"), col("k") * 2))
+      ev.select(col("event_id"), col("k"),
+          element_at(col("m"), "2k").as("k_doubled"),
+          size(col("m")).as("map_size"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+          struct(col("event_id"), col("k")).getField("k").as("k_struct"))
+        .orderBy("event_id")
+    }),
+
     // Regexp extraction surface: all vowel-initial words per doc
     // (regexp_extract_all with a capture-group index), plus derived
     // stats — the BPE-ish regex tokenization path.
@@ -434,6 +473,36 @@ object Round3Queries {
         |SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx,
         |  unnest(range(0, n_frames)) * 40 AS ts_ms, duration_ms
         |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_kmv_distinct" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(
+        |      string_split_regex(
+        |        substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (acc, v) -> acc * 16 + v) AS u
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT l_returnflag, u,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY u) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n_distinct
+        |  FROM d
+        |)
+        |SELECT l_returnflag, n_distinct, u AS kth_min,
+        |  270582939648.0 / u AS est_distinct
+        |FROM r WHERE rn = 64
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_complex_types" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled,
+        |  2 AS map_size,
+        |  '2k,k' AS keys_csv,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_struct
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "q_regexp_funcs" ->
       """WITH v AS (
