@@ -245,6 +245,61 @@ object Round3Queries {
           (col("frame_idx") * 40).as("ts_ms"), col("duration_ms"))
         .orderBy("doc_id", "frame_idx")),
 
+    // Time-series gap fill: complete per-user hourly spine (sequence
+    // explode between each user's first and last active hour) with
+    // forward-filled values — the resample/interpolate operator. The
+    // spine is generated distributed (explode after a groupBy), never
+    // on the driver.
+    "q_gap_fill" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+        .groupBy("user_id", "h")
+        .agg(dsum(col("value")).as("v"), count(lit(1)).as("n"))
+      val spine = hourly.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("v_filled",
+          last(col("v"), ignoreNulls = true)
+            .over(Window.partitionBy("user_id").orderBy("h")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), unix_millis(col("h")).as("h_ms"),
+          coalesce(col("n"), lit(0L)).as("n_events"), col("v_filled"))
+        .orderBy("user_id", "h_ms")
+    }),
+
+    // Daily new users + cumulative distinct users over time — the
+    // running-distinct shape (distinct reduced to first-seen day, so the
+    // cumulative count is a plain running sum, no stateful distinct).
+    "q_running_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users"))
+          .over(Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("d")),
+
+    // Schema-evolution union: by-NAME alignment with a missing column
+    // null-filled (allowMissingColumns) — the batch form of ingesting
+    // two feed versions into one sink table.
+    "q_union_by_name" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"), lit("a").as("src"))
+      val b = li.filter(col("l_returnflag") === "R")
+        .select(col("l_linenumber"), col("l_orderkey"),
+          lit("b").as("src")) // reordered + qty missing
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("src"), col("l_orderkey"), col("l_linenumber"),
+          col("qty").asc_nulls_first)
+    }),
+
     // KMV (k-minimum-values) distinct-count sketch, k=64: unlike HLL,
     // fully deterministic — the estimate is (k-1)*2^32 / (k-th smallest
     // 32-bit hash), so the oracle can check it bitwise. The mergeable
@@ -473,6 +528,49 @@ object Round3Queries {
         |SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx,
         |  unnest(range(0, n_frames)) * 40 AS ts_ms, duration_ms
         |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY user_id, date_trunc('hour', ts)
+        |), spine AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM hourly GROUP BY user_id
+        |)
+        |SELECT s.user_id, epoch_ms(s.h) AS h_ms,
+        |  COALESCE(hy.n, 0) AS n_events,
+        |  last_value(hy.v IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM spine s LEFT JOIN hourly hy
+        |  ON s.user_id = hy.user_id AND s.h = hy.h
+        |ORDER BY s.user_id, h_ms""".stripMargin,
+
+    "q_running_distinct" ->
+      """WITH f AS (
+        |  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS d
+        |  FROM events GROUP BY user_id
+        |), daily AS (
+        |  SELECT d, COUNT(*) AS new_users FROM f GROUP BY d
+        |)
+        |SELECT d, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily ORDER BY d""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity AS qty, 'a' AS src
+        |  FROM lineitem WHERE l_returnflag = 'A'
+        |  UNION ALL BY NAME
+        |  SELECT l_linenumber, l_orderkey, 'b' AS src
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |)
+        |ORDER BY src, l_orderkey, l_linenumber, qty NULLS FIRST""".stripMargin,
 
     "q_kmv_distinct" ->
       """WITH d AS (
