@@ -32,7 +32,7 @@ object PlanContracts {
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) =>
       s"$n\t${PlanSignature.of(f(spark, "/root/testdata/sf0.001"))}"
     }
-    Files.createDirectories(Paths.get(out).getParent)
+    Option(Paths.get(out).getParent).foreach(Files.createDirectories(_))
     Files.write(Paths.get(out), (lines.mkString("\n") + "\n").getBytes)
     println(s"[plan-contracts] wrote ${lines.size} signatures to $out")
     spark.stop()

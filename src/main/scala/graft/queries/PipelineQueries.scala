@@ -494,14 +494,14 @@ object PipelineQueries {
        |)""".stripMargin
 
   /** Exact double dot product of two FLOAT[] columns, left-to-right. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> " +
       s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   private def simSql(a: String, b: String, na: String, nb: String): String =
     s"${dotSql(a, b)} / ($na * $nb)"
 
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  private[queries] def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
   private def markerList(l: String): String =
     markers.toMap.apply(l).map(w => s"'$w'").mkString("[", ", ", "]")

@@ -239,7 +239,12 @@ object Round3Queries {
         .withColumn("n_frames",
           least(lit(16), expr("(duration_ms + 39) div 40")))
         .select(col("doc_id"), col("duration_ms"), col("n_frames"),
-          posexplode(sequence(lit(0L), col("n_frames") - 1))
+          // guard: sequence(0, -1) counts DOWN (negative step inferred),
+          // so a zero-duration clip must map to an empty array, not two
+          // phantom frames — mirrors the oracle's empty range(0, 0)
+          posexplode(when(col("n_frames") > 0,
+            sequence(lit(0L), col("n_frames") - 1))
+            .otherwise(array().cast("array<bigint>")))
             .as(Seq("frame_idx", "fi")))
         .select(col("doc_id"), col("frame_idx"),
           (col("frame_idx") * 40).as("ts_ms"), col("duration_ms"))
@@ -355,11 +360,10 @@ object Round3Queries {
 
   // ---------------------------------------------------------------- oracle
 
+  // the ONE fold definition both files' oracles must share bitwise
   private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1,65), i -> " +
-      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+    PipelineQueries.dotSql(a, b)
+  private def normSql(a: String): String = PipelineQueries.normSql(a)
 
   private val discSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * " +

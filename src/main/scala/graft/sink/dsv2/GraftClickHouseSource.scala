@@ -217,41 +217,63 @@ object GraftBatchWrite {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftBatchWrite])
 
-  /** TRUNCATE on the coordinator with the sink's retry contract (same
-    * linear 1000·attempt backoff as BufferedRetryWriter) and the same
-    * credential rule as JdbcStatementExecutor: credentials are sent
-    * only when BOTH username and password are configured — the two
-    * halves of one overwrite must authenticate identically.
+  /** TRUNCATE with the sink's retry contract (same linear 1000·attempt
+    * backoff as BufferedRetryWriter) and the same credential rule as
+    * JdbcStatementExecutor: credentials are sent only when BOTH username
+    * and password are configured — the two halves of one overwrite must
+    * authenticate identically.
     *
     * ON CLUSTER is emitted only when the user explicitly configured
     * `cluster-name` — a single-node server has no 'default_cluster' and
-    * would reject the implicit default even though appends work.
+    * would reject the implicit default even though appends work. Without
+    * a cluster name the statement reaches only the node it is sent to,
+    * so in write-local mode the truncate is issued to EVERY shard node —
+    * otherwise an overwrite would clear shard 0 and leave old rows on
+    * the rest.
     */
+  /** The node(s) a truncate must reach: with an explicit cluster name
+    * one ON CLUSTER statement on the coordinator fans out; without one,
+    * write-local mode must hit every shard node individually.
+    */
+  private[dsv2] def truncateUrls(options: GraftSinkOptions): Seq[String] = {
+    val urls =
+      if (options.explicitClusterName.isDefined)
+        Seq(graft.sink.ShardTopology.urlForShard(options, 0))
+      else {
+        val shards = graft.sink.ShardTopology.resolve(options)
+        if (options.writeLocal && shards.nonEmpty)
+          shards.indices.map(graft.sink.ShardTopology.urlForShard(options, _))
+        else Seq(graft.sink.ShardTopology.urlForShard(options, 0))
+      }
+    urls.distinct
+  }
+
   private[dsv2] def truncateWithRetry(options: GraftSinkOptions): Unit = {
-    val url = graft.sink.ShardTopology.urlForShard(options, 0)
     val sql = graft.sink.StatementFactory.truncate(
       options.tableName, options.explicitClusterName)
-    var attempt = 0
-    var done = false
-    while (!done) {
-      attempt += 1
-      try {
-        val conn = (options.username, options.password) match {
-          case (Some(u), Some(p)) =>
-            java.sql.DriverManager.getConnection(url, u, p)
-          case _ => java.sql.DriverManager.getConnection(url)
-        }
+    truncateUrls(options).foreach { url =>
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
         try {
-          val st = conn.createStatement()
-          try st.execute(sql) finally st.close()
-        } finally conn.close()
-        done = true
-      } catch {
-        case e: Exception =>
-          if (attempt > options.maxRetries)
-            throw new RuntimeException(
-              s"TRUNCATE failed after $attempt attempts", e)
-          Thread.sleep(1000L * attempt)
+          val conn = (options.username, options.password) match {
+            case (Some(u), Some(p)) =>
+              java.sql.DriverManager.getConnection(url, u, p)
+            case _ => java.sql.DriverManager.getConnection(url)
+          }
+          try {
+            val st = conn.createStatement()
+            try st.execute(sql) finally st.close()
+          } finally conn.close()
+          done = true
+        } catch {
+          case e: Exception =>
+            if (attempt > options.maxRetries)
+              throw new RuntimeException(
+                s"TRUNCATE failed after $attempt attempts on $url", e)
+            Thread.sleep(1000L * attempt)
+        }
       }
     }
   }

@@ -4,11 +4,11 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSuite
+import graft.plans.PlanSignature
 
 /** Partition pruning as the scan-elimination strategy (SURVEY §4 /
   * 100 TB design): data written partitioned by a low-cardinality column
@@ -20,14 +20,20 @@ import graft.SparkSuite
   */
 class PartitionPruningSpec extends AnyFunSuite with SparkSuite {
 
-  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-    case s: FileSourceScanExec => Seq(s)
-    case _ => p.children.flatMap(scans)
-  }
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    PlanSignature.nodes(p).collect { case s: FileSourceScanExec => s }
 
   test("partition-key predicate prunes directories; data filter is pushed") {
-    val dir = Files.createTempDirectory("graft_part").toFile.getAbsolutePath
+    val tmp = Files.createTempDirectory("graft_part")
+    val dir = tmp.toFile.getAbsolutePath
+    try testPruning(dir)
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
+  private def testPruning(dir: String): Unit = {
     val docs = graft.Tables(spark, sf0001, "documents")
     docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
     val nLangs = docs.select("lang").distinct().count()

@@ -14,22 +14,20 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkSuite {
 
   import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
   import org.apache.spark.sql.execution.SparkPlan
-  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+  import graft.plans.PlanSignature
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.executedPlan.toString
 
-  /** All shuffle Exchange nodes in the plan TREE (descending through the
-    * AQE wrapper) — string-matching the rendered plan flakes on AQE
-    * formatting changes; operator nodes don't.
+  /** All shuffle Exchange nodes in the plan TREE (the shared
+    * AQE-descending walker) — string-matching the rendered plan flakes
+    * on AQE formatting changes; operator nodes don't.
     */
-  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
-    case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-    case e: ShuffleExchangeLike => e +: p.children.flatMap(shuffles)
-    case _ => p.children.flatMap(shuffles)
-  }
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] =
+    PlanSignature.nodes(p).collect { case e: ShuffleExchangeLike => e }
 
   test("q_filter_project pushes predicates into the parquet scan") {
     val p = plan("q_filter_project")

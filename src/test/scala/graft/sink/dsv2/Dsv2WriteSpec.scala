@@ -219,6 +219,32 @@ class Dsv2WriteSpec extends AnyFunSuite with SparkSuite {
     assert(rows.size == 1 && rows.head.getLong(0) == 9L)
   }
 
+  test("truncate targets every shard node when no cluster name is set") {
+    import graft.sink.GraftSinkOptions
+    val base = Map(
+      "url" -> "jdbc:clickhouse://coord:8123/default",
+      "table-name" -> "t")
+    // write-local, no cluster-name: the plain TRUNCATE only reaches the
+    // node it is sent to, so every shard must be visited
+    val local = GraftSinkOptions.fromMap(base +
+      ("sink.write-local" -> "true") +
+      ("sink.write-local-nodes" -> "h1:9000,h2:9000,h3:9000"))
+    assert(GraftBatchWrite.truncateUrls(local) == Seq(
+      "jdbc:clickhouse://h1:9000/default",
+      "jdbc:clickhouse://h2:9000/default",
+      "jdbc:clickhouse://h3:9000/default"))
+    // explicit cluster name: one ON CLUSTER statement fans out server-side
+    val clustered = GraftSinkOptions.fromMap(base +
+      ("sink.write-local" -> "true") +
+      ("sink.write-local-nodes" -> "h1:9000,h2:9000") +
+      ("cluster-name" -> "c1"))
+    assert(GraftBatchWrite.truncateUrls(clustered) ==
+      Seq("jdbc:clickhouse://h1:9000/default"))
+    // plain single-node sink: the coordinator URL
+    assert(GraftBatchWrite.truncateUrls(GraftSinkOptions.fromMap(base)) ==
+      Seq("jdbc:clickhouse://coord:8123/default"))
+  }
+
   test("update-mode streaming aggregation appends upsert rows " +
       "(SupportsStreamingUpdateAsAppend)") {
     MemorySinkRegistry.clear()
