@@ -250,6 +250,44 @@ object Round3Queries {
           (col("frame_idx") * 40).as("ts_ms"), col("duration_ms"))
         .orderBy("doc_id", "frame_idx")),
 
+    // Ordered funnel: users reaching insert -> update_after -> delete in
+    // strict event-time order (each step's min time must follow the
+    // previous step). MATCH_RECOGNIZE-style sequencing as three
+    // conditional-min aggregations chained by joins — each join keyed on
+    // user_id, so at scale all three resolve in one co-partitioning.
+    "q_funnel_steps" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tu"))
+      val s1 = base.filter(col("event_type") === "insert")
+        .groupBy("user_id").agg(min(col("tu")).as("t1"))
+      val s2 = base.filter(col("event_type") === "update_after")
+        .join(s1, "user_id").filter(col("tu") > col("t1"))
+        .groupBy("user_id").agg(min(col("tu")).as("t2"))
+      val s3 = base.filter(col("event_type") === "delete")
+        .join(s2, "user_id").filter(col("tu") > col("t2"))
+        .groupBy("user_id").agg(min(col("tu")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .agg(count(col("t1")).as("step1_users"),
+          count(col("t2")).as("step2_users"),
+          count(col("t3")).as("step3_users"))
+    }),
+
+    // Cohort retention: users bucketed by first-active day, counted per
+    // (cohort, day-offset) — the daily-distinct reduction happens before
+    // any join, so only (user, day) pairs shuffle, never raw events.
+    "q_cohort_retention" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = days.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      days.join(first, "user_id")
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // Time-series gap fill: complete per-user hourly spine (sequence
     // explode between each user's first and last active hour) with
     // forward-filled values — the resample/interpolate operator. The
@@ -532,6 +570,41 @@ object Round3Queries {
         |SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx,
         |  unnest(range(0, n_frames)) * 40 AS ts_ms, duration_ms
         |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_funnel_steps" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tu FROM events
+        |), s1 AS (
+        |  SELECT user_id, MIN(tu) AS t1 FROM base
+        |  WHERE event_type = 'insert' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT b.user_id, MIN(b.tu) AS t2
+        |  FROM base b JOIN s1 USING (user_id)
+        |  WHERE b.event_type = 'update_after' AND b.tu > s1.t1
+        |  GROUP BY b.user_id
+        |), s3 AS (
+        |  SELECT b.user_id, MIN(b.tu) AS t3
+        |  FROM base b JOIN s2 USING (user_id)
+        |  WHERE b.event_type = 'delete' AND b.tu > s2.t2
+        |  GROUP BY b.user_id
+        |)
+        |SELECT COUNT(s1.t1) AS step1_users, COUNT(s2.t2) AS step2_users,
+        |  COUNT(s3.t3) AS step3_users
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), first AS (
+        |  SELECT user_id, MIN(day) AS cohort FROM days GROUP BY user_id
+        |)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  date_diff('day', cohort, day) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM days JOIN first USING (user_id)
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q_gap_fill" ->
       """WITH hourly AS (
