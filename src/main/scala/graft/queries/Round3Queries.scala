@@ -250,6 +250,24 @@ object Round3Queries {
           (col("frame_idx") * 40).as("ts_ms"), col("duration_ms"))
         .orderBy("doc_id", "frame_idx")),
 
+    // Per-group top-k via the bounded TopKAggregator (typed Aggregator
+    // with a k-entry buffer): partial aggregation caps the shuffle at k
+    // rows per group per map partition — unlike the window-row_number
+    // formulation, which shuffles and sorts every row (the oracle IS
+    // that formulation, proving equivalence).
+    "q_topk_agg" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"),
+          posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("o_custkey"), (col("pos") + 1).as("rnk"),
+          col("e.id").as("o_orderkey"),
+          col("e.score").as("o_totalprice"))
+        .orderBy("o_custkey", "rnk")
+    }),
+
     // Ordered funnel: users reaching insert -> update_after -> delete in
     // strict event-time order (each step's min time must follow the
     // previous step). MATCH_RECOGNIZE-style sequencing as three
@@ -570,6 +588,17 @@ object Round3Queries {
         |SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx,
         |  unnest(range(0, n_frames)) * 40 AS ts_ms, duration_ms
         |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_topk_agg" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders
+        |)
+        |SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM r
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
 
     "q_funnel_steps" ->
       """WITH base AS (
