@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_array_intersect_size",
         "_FUNC_(a, b) - |A intersect B| for string arrays"),
       (exprs: Seq[Expression]) => ArrayIntersectSize(exprs(0), exprs(1))))
+    // declarative aggregate(zip_with(...)) dot folds are rewritten to the
+    // codegen'd VectorDotProduct — identical results, ~100x per pair
+    e.injectOptimizerRule(_ => graft.plans.VectorizeDotFold)
   }
 }
