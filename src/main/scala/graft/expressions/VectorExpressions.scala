@@ -42,13 +42,25 @@ case class VectorDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL on ragged lengths or a null element (see below), regardless of
+  // child nullability
+  override def nullable: Boolean = true
+
+  /** Exactly the declarative fold's semantics, so the VectorizeDotFold
+    * rewrite can never change results: zip_with pads the shorter array
+    * with nulls and null propagates through the fold, so a LENGTH
+    * MISMATCH or any NULL ELEMENT yields NULL — not a partial or
+    * zero-padded product.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -60,13 +72,29 @@ case class VectorDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // the null-element check is emitted only when an input MAY hold
+      // nulls (static schema knowledge): the hot path — non-null
+      // same-dim embeddings — keeps the tight two-load loop
+      val mayBeNull = Seq(left, right).exists(_.dataType match {
+        case ArrayType(_, cn) => cn
+        case _ => false
+      })
+      val nullElemCheck =
+        if (mayBeNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -23,6 +23,10 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
 
+  // k=0 would crash reduce's fast path on b.last; k<0 would silently
+  // drop every row via take(k) — both are constructor bugs, fail loudly
+  require(k > 0, s"TopKAggregator requires k > 0, got $k")
+
   private val ord: Ordering[ScoredId] =
     Ordering.by((s: ScoredId) => (-s.score, s.id))
 

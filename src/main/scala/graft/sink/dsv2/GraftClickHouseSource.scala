@@ -240,9 +240,10 @@ object GraftBatchWrite {
       if (options.explicitClusterName.isDefined)
         Seq(graft.sink.ShardTopology.urlForShard(options, 0))
       else {
-        val shards = graft.sink.ShardTopology.resolve(options)
-        if (options.writeLocal && shards.nonEmpty)
-          shards.indices.map(graft.sink.ShardTopology.urlForShard(options, _))
+        val shards =
+          if (options.writeLocal) graft.sink.ShardTopology.resolve(options)
+          else Seq.empty
+        if (shards.nonEmpty) shards.map(_.jdbcUrl(options.databaseName))
         else Seq(graft.sink.ShardTopology.urlForShard(options, 0))
       }
     urls.distinct

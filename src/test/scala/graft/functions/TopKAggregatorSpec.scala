@@ -53,15 +53,24 @@ class TopKAggregatorSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("partial aggregation runs below the shuffle (map-side top-k)") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
     val plan = SparkEntry.queries("q_topk_agg")(spark, sf0001)
       .queryExecution.executedPlan
+    // the aggregate below an exchange must be PARTIAL-mode — a
+    // Complete-mode aggregate sitting above the hash exchange (losing
+    // the k-rows-per-group shuffle cap) also puts an ObjectHashAggregate
+    // inside the output-sort exchange's subtree, so mode is the signal
     val hasPartialBelowShuffle = PlanSignature.nodes(plan).exists {
       case e: ShuffleExchangeLike =>
-        PlanSignature.nodes(e.child)
-          .exists(_.isInstanceOf[ObjectHashAggregateExec])
+        PlanSignature.nodes(e.child).exists {
+          case agg: ObjectHashAggregateExec =>
+            agg.aggregateExpressions.nonEmpty &&
+              agg.aggregateExpressions.forall(_.mode == Partial)
+          case _ => false
+        }
       case _ => false
     }
     assert(hasPartialBelowShuffle,
-      s"no partial ObjectHashAggregate below an exchange:\n$plan")
+      s"no Partial-mode ObjectHashAggregate below an exchange:\n$plan")
   }
 }

@@ -54,6 +54,32 @@ class VectorizeDotFoldSpec extends AnyFunSuite with SparkSuite {
     assert(countDots(VectorizeDotFold(biased.queryExecution.analyzed)) == 0)
   }
 
+  test("ragged and null-element arrays yield NULL in both forms") {
+    import spark.implicits._
+    graft.expressions.VectorExpressions.register(spark)
+    // (ragged lengths, null element, clean pair) — the declarative fold
+    // returns NULL for the first two (zip_with null padding propagates);
+    // VectorDotProduct must match or the rewrite changes results
+    val df = Seq(
+      (1L, Seq[Option[Float]](Some(1f), Some(2f)),
+        Seq[Option[Float]](Some(1f))),
+      (2L, Seq[Option[Float]](Some(1f), None),
+        Seq[Option[Float]](Some(1f), Some(2f))),
+      (3L, Seq[Option[Float]](Some(2f), Some(3f)),
+        Seq[Option[Float]](Some(4f), Some(5f)))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        VectorFunctions.dotFold(col("a"), col("b")).as("fold"),
+        VectorFunctions.dotD(col("a"), col("b")).as("fast"))
+      .orderBy("id").collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"null disagreement on id=${r.getLong(0)}: $r")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2))
+    }
+    assert(out(0).isNullAt(1) && out(1).isNullAt(1) && !out(2).isNullAt(1))
+  }
+
   test("rewritten plan evaluates identically to the declarative form") {
     // end-to-end: run both the interpreted fold and the expression the
     // rule substitutes; bitwise-equal doubles on every row
