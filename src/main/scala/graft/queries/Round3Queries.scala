@@ -383,6 +383,36 @@ object Round3Queries {
         .orderBy("l_returnflag")
     }),
 
+    // Grouping metadata: grouping()/grouping_id() distinguish real NULL
+    // keys from subtotal rows in cube output — without them rollup
+    // results are unconsumable downstream.
+    "q_grouping_id" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_prio"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // ANSI-safe arithmetic: try_divide / try_to_number give NULL
+    // instead of runtime errors — the functions a pipeline needs with
+    // ANSI mode on (Spark 4 default). Divisors derive from integers
+    // only: a double->int cast truncates in Spark but rounds in DuckDB.
+    "q_try_funcs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          try_divide(col("l_quantity"), col("l_linenumber") % 3)
+            .as("qty_per_bucket"), // NULL where linenumber % 3 == 0
+          try_to_number(col("l_linenumber").cast("string"), lit("9"))
+            .as("lnum_parsed"),
+          try_to_number(col("l_returnflag"), lit("9")).as("flag_num"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "qty_per_bucket")),
+
     // Complex-type surface: JSON -> struct (from_json), struct field
     // access, map construction + lookup, map_keys — flattened back to
     // scalars so the oracle checks the round-tripped values.
@@ -697,6 +727,26 @@ object Round3Queries {
         |  270582939648.0 / u AS est_distinct
         |FROM r WHERE rn = 64
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  GROUPING(o_orderstatus) AS g_status,
+        |  GROUPING(o_orderpriority) AS g_prio,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_quantity / NULLIF(l_linenumber % 3, 0) AS qty_per_bucket,
+        |  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS DECIMAL(1,0))
+        |    AS lnum_parsed,
+        |  TRY_CAST(l_returnflag AS DECIMAL(1,0)) AS flag_num
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |  qty_per_bucket NULLS FIRST""".stripMargin,
 
     "q_complex_types" ->
       """SELECT event_id,
