@@ -112,15 +112,28 @@ object StreamingOps {
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       tsLeft: String, tsRight: String, watermark: String,
-      lower: String): DataFrame = {
+      lower: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsLeft, watermark)
     val r = right.withWatermark(tsRight, watermark)
     l.join(r,
       l("user_id") === r("user_id") &&
       r(tsRight) <= l(tsLeft) &&
-      r(tsRight) >= l(tsLeft) - expr(s"INTERVAL $lower"))
+      r(tsRight) >= l(tsLeft) - expr(s"INTERVAL $lower"),
+      joinType)
       .drop(r("user_id"))
   }
+
+  /** Left-outer stream-stream interval join: unmatched left rows are
+    * emitted null-padded once the watermark proves no matching right row
+    * can still arrive (the interval bound is the state horizon) — the
+    * Flink left interval join's late-null-emission semantics,
+    * engine-managed by Spark's outer-join watermark protocol.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      tsLeft: String, tsRight: String, watermark: String,
+      lower: String): DataFrame =
+    intervalJoin(left, right, tsLeft, tsRight, watermark, lower,
+      joinType = "left_outer")
 
   /** Keyed state with an event-time TIMER (Flink ProcessFunction timer
     * parity): per-key running net that emits a FINAL record only when

@@ -190,6 +190,37 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq((1L, 100L), (2L, 102L)))
   }
 
+  test("left-outer interval join emits unmatched rows null-padded " +
+      "after the watermark closes the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamingOps.intervalJoinLeftOuter(
+      clicks.toDF().withColumnRenamed("ts", "c_ts")
+        .withColumnRenamed("event_id", "c_id"),
+      purchases.toDF().withColumnRenamed("ts", "p_ts")
+        .withColumnRenamed("event_id", "p_id"),
+      tsLeft = "c_ts", tsRight = "p_ts",
+      watermark = "10 minutes", lower = "10 minutes")
+      .select("c_id", "p_id")
+    runToMemory(joined, "interval_outer_out", "append")(
+      () => purchases.addData(Ev(100, ts(0), 1, 9.0)),
+      () => clicks.addData(Ev(1, ts(5), 1, 1.0),   // matches purchase 100
+        Ev(2, ts(5), 2, 1.0)),                     // no purchase: null row
+      // push both watermarks far past click time + bound so the engine
+      // can PROVE no matching purchase can still arrive for click 2
+      () => { clicks.addData(Ev(3, ts(120), 9, 1.0))
+              purchases.addData(Ev(102, ts(120), 9, 9.0)) })
+    val got = spark.table("interval_outer_out").orderBy("c_id")
+      .collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // click 1 matched; click 2 emitted null-padded ONLY after the
+    // watermark passed its interval bound; click 3 matched at the
+    // same instant
+    assert(got.toSeq == Seq((1L, 100L), (2L, -1L), (3L, 102L)))
+  }
+
   test("event-time timer expires keyed state and emits the final net") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
