@@ -383,6 +383,19 @@ object Round3Queries {
         .orderBy("l_returnflag")
     }),
 
+    // ANN quality metric: recall@10 of the compressed-domain PQ search
+    // against exact brute force, by composing the two existing queries —
+    // the measurement a pipeline runs before trusting an index at scale.
+    "ann_recall" -> ((s, dir) => {
+      val exact = PipelineQueries.queries("similarity_topk")(s, dir)
+        .select(col("vec_id"))
+      val approx = Pipeline2Queries.queries("ann_pq_topk")(s, dir)
+        .select(col("vec_id").as("pq_id"))
+      exact.join(approx, col("vec_id") === col("pq_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"),
+          (count(lit(1)) / lit(10.0)).as("recall_at_10"))
+    }),
+
     // Grouping metadata: grouping()/grouping_id() distinguish real NULL
     // keys from subtotal rows in cube output — without them rollup
     // results are unconsumable downstream.
@@ -727,6 +740,15 @@ object Round3Queries {
         |  270582939648.0 / u AS est_distinct
         |FROM r WHERE rn = 64
         |ORDER BY l_returnflag""".stripMargin,
+
+    "ann_recall" -> {
+      val exact = PipelineQueries.oracle("similarity_topk")
+      val pq = Pipeline2Queries.oracle("ann_pq_topk")
+      s"""WITH exact_t AS ($exact), pq_t AS ($pq)
+         |SELECT COUNT(*) AS hits, COUNT(*) / 10.0 AS recall_at_10
+         |FROM exact_t WHERE vec_id IN (SELECT vec_id FROM pq_t)"""
+        .stripMargin
+    },
 
     "q_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
