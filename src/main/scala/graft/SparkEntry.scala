@@ -26,7 +26,8 @@ object SparkEntry {
     PipelineQueries.queries ++
     AdvancedQueries.queries ++
     Pipeline2Queries.queries ++
-    Round3Queries.queries
+    Round3Queries.queries ++
+    Round3bQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -37,5 +38,6 @@ object SparkEntry {
     PipelineQueries.oracle ++
     AdvancedQueries.oracle ++
     Pipeline2Queries.oracle ++
-    Round3Queries.oracle
+    Round3Queries.oracle ++
+    Round3bQueries.oracle
 }

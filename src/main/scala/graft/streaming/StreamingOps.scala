@@ -78,6 +78,21 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** stream_dedup_ttl: key-only dedup with bounded state — duplicates of
+    * a key are dropped while the key's state lives, and the state is
+    * evicted once the watermark passes its event time plus the delay
+    * (Flink's `Deduplication` with state TTL). Unlike dedupByKey the
+    * event time is NOT part of the identity: a key re-arriving with a
+    * new timestamp inside the horizon is still a duplicate, and the
+    * same key after eviction is accepted again — the bounded-memory
+    * contract that makes streaming dedup survive an unbounded stream.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Custom keyed state: a live per-key collapsing net count maintained
     * with flatMapGroupsWithState — the streaming materialization of the
     * CollapsingMergeTree semantic (R10): state += sign(op) per record,

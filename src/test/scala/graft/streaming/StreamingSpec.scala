@@ -81,6 +81,25 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("stream_dedup_ttl: key-only dedup, state evicted past the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val dedup = StreamingOps.dedupWithinWatermark(mem.toDF(), "ts",
+      "10 minutes", Seq("event_id"))
+    runToMemory(dedup, "dedup_ttl_out", "append")(
+      // same key, DIFFERENT ts, inside the horizon: still a duplicate
+      () => mem.addData(Ev(1, ts(1), 1, 1.0), Ev(1, ts(2), 1, 1.0)),
+      () => mem.addData(Ev(1, ts(3), 1, 1.0)),
+      // advance the watermark far past key 1's state (+10 min delay)
+      () => mem.addData(Ev(2, ts(55), 1, 1.0)),
+      // key 1 re-arrives AFTER eviction: accepted as a fresh row
+      () => mem.addData(Ev(1, ts(59), 1, 1.0)))
+    val out = spark.table("dedup_ttl_out")
+    assert(out.count() == 3, out.collect().mkString(", "))
+    assert(out.filter($"event_id" === 1).count() == 2)
+  }
+
   test("stream_append_sink: foreachBatch drives the buffered sink (R4/R9)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
