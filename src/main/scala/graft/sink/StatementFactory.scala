@@ -53,6 +53,22 @@ object StatementFactory {
   def truncate(tableName: String, clusterName: Option[String]): String =
     s"TRUNCATE TABLE ${quoteIdentifier(tableName)}${onCluster(clusterName)}"
 
+  /** Read-path SELECT (R15 made live — the reference's JDBC→row
+    * converter is dead code because it ships no scan; our DSv2 read
+    * path generates the statement the converter would have consumed):
+    * pruned column list + pre-rendered WHERE conjuncts.
+    */
+  def select(tableName: String, columns: Seq[String],
+      where: Seq[String]): String = {
+    val cols =
+      if (columns.isEmpty) "*"
+      else columns.map(quoteIdentifier).mkString(", ")
+    val cond =
+      if (where.isEmpty) ""
+      else where.mkString(" WHERE (", ") AND (", ")")
+    s"SELECT $cols FROM ${quoteIdentifier(tableName)}$cond"
+  }
+
   def rowExists(tableName: String, conditionFields: Seq[String]): String = {
     val cond = conditionFields.map(f => s"${quoteIdentifier(f)}=?")
       .mkString(" AND ")

@@ -47,7 +47,8 @@ class GraftClickHouseSource extends TableProvider with DataSourceRegister {
 }
 
 class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String =
     s"clickhouse-style:${properties.getOrElse("table-name", "?")}"
@@ -56,10 +57,23 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
 
   // batch + streaming append; the changelog op column rides as data in
   // both paths (the Spark analog of the reference's changelog-accepting
-  // sink declaration, ClickHouseDynamicTableSink.getChangelogMode:23-38)
+  // sink declaration, ClickHouseDynamicTableSink.getChangelogMode:23-38).
+  // BATCH_READ makes the reference's dead read direction (R15) live —
+  // see GraftScan.
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder = {
+    require(schema.nonEmpty,
+      "clickhouse-style read requires an explicit .schema(...) — the " +
+        "physical table layout is declared, never inferred (SURVEY §1)")
+    val opts = GraftSinkOptions.fromMap(properties - "primary-key" -
+      "graft.executor")
+    new GraftScanBuilder(opts,
+      properties.getOrElse("graft.executor", "jdbc"), schema)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // factory-time validation (R1): bad options fail the plan, not the job
