@@ -27,7 +27,8 @@ object SparkEntry {
     AdvancedQueries.queries ++
     Pipeline2Queries.queries ++
     Round3Queries.queries ++
-    Round3bQueries.queries
+    Round3bQueries.queries ++
+    Round3cQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -39,5 +40,6 @@ object SparkEntry {
     AdvancedQueries.oracle ++
     Pipeline2Queries.oracle ++
     Round3Queries.oracle ++
-    Round3bQueries.oracle
+    Round3bQueries.oracle ++
+    Round3cQueries.oracle
 }

@@ -25,7 +25,7 @@ object Pipeline2Queries {
   // expression registration, the spread/fence scale workarounds, the
   // intersect-size expression, and the SimHash construction + its
   // oracle CTE — one definition each, used by both groups
-  import PipelineQueries.{fence, interSize, simhashCte, simhashed, spread, t}
+  import PipelineQueries.{fencedFilter, interSize, simhashCte, simhashed, spread, t}
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -65,8 +65,7 @@ object Pipeline2Queries {
         .withColumn("inter", interSize(col("a.sh"), col("b.sh")))
         .withColumn("cont", col("inter") /
           least(size(col("a.sh")), size(col("b.sh"))))
-        .transform(fence)
-        .filter(col("cont") >= 0.05)
+        .transform(fencedFilter(_, col("cont") >= 0.05))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("cont"))
         .orderBy("a_id", "b_id")

@@ -51,11 +51,22 @@ object PipelineQueries {
     * expression up to 3x per candidate pair (once in the condition, once
     * per projection). A nondeterministic projection blocks predicate
     * pushdown (PushPredicateThroughNonJoin requires deterministic
-    * projects), so expressions below the fence are computed exactly once.
-    * The fence column is dropped immediately; results are unchanged.
+    * projects) — but ONLY while the nondeterministic column is still
+    * referenced: ColumnPruning deletes an unused fence column, the
+    * project turns deterministic again, and the filter slides into the
+    * join (observed on similarity_self_join_dedup: 1.5s → 5.9s). So the
+    * filter itself must reference the fence via an always-true conjunct
+    * the optimizer cannot fold away — NOT `isNotNull` (the id is
+    * non-nullable, so null-check simplification rewrites that to TRUE
+    * and the fence evaporates again) but `>= 0`, which holds for every
+    * monotonically_increasing_id value yet is not provable statically.
+    * The fence column is dropped right after. Results are unchanged and
+    * the expensive expression is computed exactly once per pair.
     */
-  private[queries] def fence(df: DataFrame): DataFrame =
+  private[queries] def fencedFilter(df: DataFrame, cond: Column): DataFrame =
     df.withColumn("__fence", monotonically_increasing_id())
+      .filter(cond && col("__fence") >= 0)
+      .drop("__fence")
 
   /** 16-bit SimHash per doc from md5-nibble bits of distinct words —
     * shared by dedup_simhash and the Hamming-pair query (the blocking
@@ -326,8 +337,7 @@ object PipelineQueries {
         .withColumn("inter", interSize(col("a.sh"), col("b.sh")))
         .withColumn("jacc", col("inter") /
           (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
-        .transform(fence)
-        .filter(col("jacc") >= 0.02)
+        .transform(fencedFilter(_, col("jacc") >= 0.02))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("jacc"))
         .orderBy("a_id", "b_id")
@@ -377,8 +387,7 @@ object PipelineQueries {
       a.join(b, col("a_id") < col("b_id"))
         .withColumn("sim",
           simExpr(col("ea"), col("eb"), col("na"), col("nb")))
-        .transform(fence)
-        .filter(col("sim") > 0.35)
+        .transform(fencedFilter(_, col("sim") > 0.35))
         .select("a_id", "b_id", "sim")
         .orderBy("a_id", "b_id")
     }),
@@ -398,8 +407,7 @@ object PipelineQueries {
           col("a_id") < col("b_id"))
         .withColumn("sim",
           simExpr(col("ea"), col("eb"), col("na"), col("nb")))
-        .transform(fence)
-        .filter(col("sim") > 0.3)
+        .transform(fencedFilter(_, col("sim") > 0.3))
         .select("bucket", "a_id", "b_id", "sim")
         .orderBy("bucket", "a_id", "b_id")
     }),

@@ -164,8 +164,7 @@ object Round3Queries {
           col("a_id") < col("b_id"))
         .withColumn("sim",
           dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .transform(PipelineQueries.fence)
-        .filter(col("sim") >= 0.3)
+        .transform(PipelineQueries.fencedFilter(_, col("sim") >= 0.3))
         .groupBy(col("b_id").as("dup_id"))
         .agg(min(col("a_id")).as("keep_id"),
           max(col("sim")).as("best_sim"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.VectorFunctions.{dotD, normD}
 
 /** Round-3 second batch: the statistical-aggregate surface (moments,
   * correlation, regression — the profiling pass a corpus runs before
@@ -31,8 +32,10 @@ import graft.Tables
   */
 object Round3bQueries {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
     Tables(s, dir, n)
+  }
 
   // exact 2-dp decimal casts: l_quantity is integral 1..50, prices are
   // exact 2-decimal values (FIXTURES.md) — these casts are lossless
@@ -199,6 +202,32 @@ object Round3bQueries {
         .limit(20)
     }),
 
+    // K-means assignment step (the E-step of Lloyd's algorithm, and the
+    // partitioner of semantic-dedup clustering): each vector assigned
+    // to its nearest of 8 broadcast centroids by squared euclidean
+    // distance d² = |v|² − 2·v·c + |c|², with both norms precomputed
+    // once per row/centroid so the cross product evaluates ONE dot per
+    // pair. At 100 TB: centroids always broadcast (k·dim floats), the
+    // scan streams, and the argmin is a tiny per-key window — no
+    // shuffle of vector payloads at all beyond the output sort.
+    "embedding_kmeans_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("ce"),
+          dotD(col("embedding"), col("embedding")).as("n2c")))
+      val vecs = e.select(col("vec_id"), col("embedding"),
+        dotD(col("embedding"), col("embedding")).as("n2v"))
+      val w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+      vecs.crossJoin(cents)
+        .select(col("vec_id"), col("centroid_id"),
+          (col("n2v") - lit(2.0) * dotD(col("embedding"), col("ce"))
+            + col("n2c")).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("vec_id")
+    }),
+
     // Decode-batch planning: pack the byte-range chunks of
     // multimodal_chunk_plan into bounded decode batches (≤64 KiB of
     // payload per batch) within a decode task (doc_id mod 8 — the
@@ -349,6 +378,37 @@ object Round3bQueries {
         |CROSS JOIN n
         |ORDER BY c_xy DESC, w1, w2
         |LIMIT 20""".stripMargin,
+
+    "embedding_kmeans_assign" -> {
+      // the ONE dot-product fold definition shared with PipelineQueries'
+      // oracles — identical operand order keeps IEEE results bitwise
+      def dot(a: String, b: String): String =
+        s"list_sum(list_transform(range(1,65), i -> " +
+          s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH c AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce,
+         |    ${dot("embedding", "embedding")} AS n2c
+         |  FROM embeddings WHERE vec_id < 8
+         |),
+         |v AS (
+         |  SELECT vec_id, embedding,
+         |    ${dot("embedding", "embedding")} AS n2v
+         |  FROM embeddings
+         |),
+         |d AS (
+         |  SELECT vec_id, centroid_id,
+         |    n2v - 2.0 * ${dot("embedding", "ce")} + n2c AS d2
+         |  FROM v, c
+         |),
+         |r AS (
+         |  SELECT vec_id, centroid_id, d2,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, centroid_id) AS rn
+         |  FROM d
+         |)
+         |SELECT vec_id, centroid_id, d2 FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "multimodal_decode_batches" ->
       """WITH b AS (

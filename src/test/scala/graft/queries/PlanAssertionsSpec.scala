@@ -75,6 +75,27 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkSuite {
       s"document body in shuffle key:\n${exchangeLines.mkString("\n")}")
   }
 
+  test("pair-query fence: threshold filter is NOT cloned into the join") {
+    // ColumnPruning can delete an unreferenced nondeterministic fence
+    // column, letting the sim filter (and its dot product) slide into
+    // the join condition — 1 extra evaluation per candidate pair plus
+    // derived isnotnull(dot) scans. fencedFilter pins the fence; this
+    // guards the pin.
+    for (q <- Seq("similarity_self_join_dedup", "similarity_lsh_bucketed",
+        "dedup_embedding_cosine", "dedup_ngram_jaccard")) {
+      val exec = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan
+      val joinConds = PlanSignature.nodes(exec).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.condition
+      }.flatten
+      assert(!joinConds.exists(c =>
+          c.toString.contains("vectordotproduct") ||
+          c.toString.contains("arrayintersectsize")),
+        s"$q: expensive expression cloned into join condition")
+    }
+  }
+
   test("q_shuffle_hash_join honors the shuffle-hash hint") {
     assert(plan("q_shuffle_hash_join").contains("ShuffledHashJoin"))
   }
