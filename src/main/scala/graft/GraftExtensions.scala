@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_vec_dot",
         "_FUNC_(a, b) - double dot product of two float arrays"),
       (exprs: Seq[Expression]) => VectorDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_vec_sqdist"),
+      info("graft_vec_sqdist",
+        "_FUNC_(a, b) - squared euclidean distance of two float arrays"),
+      (exprs: Seq[Expression]) => VectorSqDist(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_shingles"),
       info("graft_shingles",
         "_FUNC_(text) - distinct word 3-gram shingles"),

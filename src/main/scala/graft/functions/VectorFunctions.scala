@@ -33,6 +33,24 @@ object VectorFunctions {
 
   def normD(a: Column): Column = sqrt(dotD(a, a))
 
+  /** Left-to-right squared euclidean distance Σ(a−b)² via the codegen'd
+    * VectorSqDist expression (requires VectorExpressions.register).
+    * Bitwise-identical to [[sqDistFold]].
+    */
+  def sqDistD(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.vecSqDist(a, b)
+
+  /** Interpreted reference implementation of [[sqDistD]] — kept for
+    * equivalence testing.
+    */
+  def sqDistFold(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, v) => acc + v)
+
   /** Cosine similarity in doubles; NaN on zero vectors (not present in
     * the synthetic data).
     */

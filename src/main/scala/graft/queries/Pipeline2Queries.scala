@@ -134,11 +134,11 @@ object Pipeline2Queries {
       val anchors = broadcast(subs.filter(col("vec_id") < k)
         .select(col("vec_id").cast("int").as("cid"), col("sub"),
           col("subv").as("av")))
+      // codegen'd Σ(a-b)² — bitwise-identical to the declarative
+      // zip_with/aggregate fold (VectorSqDistSpec proves it) but it
+      // keeps the encode stage inside whole-stage codegen
       def dist2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b,
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-          lit(0.0), (acc, v) => acc + v)
+        graft.functions.VectorFunctions.sqDistD(a, b)
       val byDist = Window.partitionBy("vec_id", "sub")
         .orderBy("d2", "cid")
       val codes = subs.join(anchors, "sub")

@@ -30,6 +30,30 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("VectorSqDist == interpreted fold, bitwise; null on ragged/null") {
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(50)(
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1),
+       Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.map { case (a, b) => (a.toSeq, b.toSeq) }.toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.sqDistD(col("a"), col("b")).as("fast"),
+      VectorFunctions.sqDistFold(col("a"), col("b")).as("ref")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // ragged lengths yield NULL in both forms (zip_with pads with null,
+    // null propagates through the fold)
+    val edge = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+    val r = edge.select(
+      VectorFunctions.sqDistD(col("a"), col("b")).as("fast"),
+      VectorFunctions.sqDistFold(col("a"), col("b")).as("ref")).collect()
+    assert(r.head.isNullAt(0) && r.head.isNullAt(1))
+  }
+
   test("VectorDotProduct rejects non-float-array input") {
     VectorExpressions.register(spark)
     import spark.implicits._
