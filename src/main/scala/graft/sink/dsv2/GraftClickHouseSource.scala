@@ -58,11 +58,13 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
   // batch + streaming append; the changelog op column rides as data in
   // both paths (the Spark analog of the reference's changelog-accepting
   // sink declaration, ClickHouseDynamicTableSink.getChangelogMode:23-38).
-  // BATCH_READ makes the reference's dead read direction (R15) live —
-  // see GraftScan.
+  // BATCH_READ makes the reference's dead read direction (R15) live,
+  // and MICRO_BATCH_READ replays committed batches as a changelog
+  // stream — see GraftScan.
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.BATCH_READ).asJava
+      TableCapability.TRUNCATE, TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder = {

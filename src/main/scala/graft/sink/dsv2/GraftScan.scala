@@ -94,6 +94,102 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(fullSchema, required,
       options.username, options.password)
+
+  /** Streaming READ: replay the table's committed batches as
+    * micro-batches — a changelog-replay source (the op column, if the
+    * writer appended one, rides as data exactly as it does on the write
+    * path). Memory endpoint only: a JDBC ClickHouse table has no
+    * inherent change cursor, so streaming-read it through CDC
+    * infrastructure instead; failing at stream start beats silently
+    * re-scanning the full table every trigger.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): streaming.MicroBatchStream = {
+    if (executorKind != "memory")
+      throw new UnsupportedOperationException(
+        "clickhouse-style streaming read requires graft.executor=memory " +
+          "(a JDBC table exposes no change cursor to poll)")
+    new GraftMicroBatchStream(options.tableName, fullSchema, required)
+  }
+}
+
+/** Offset = count of committed batches in the registry for this table.
+  * Each trigger serves the batches appended since the last offset, one
+  * input partition per batch — at-least-once replay in commit order.
+  */
+class GraftMicroBatchStream(table: String, fullSchema: StructType,
+    required: StructType) extends streaming.MicroBatchStream {
+
+  import streaming.Offset
+
+  private case class BatchCountOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  override def initialOffset(): Offset = BatchCountOffset(0L)
+
+  override def latestOffset(): Offset =
+    BatchCountOffset(MemorySinkRegistry.allFor(table).size.toLong)
+
+  override def deserializeOffset(json: String): Offset =
+    BatchCountOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[BatchCountOffset].n.toInt
+    val until = end.asInstanceOf[BatchCountOffset].n.toInt
+    (from until until)
+      .map(i => GraftStreamBatchPartition(table, i): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStreamReaderFactory(fullSchema, required)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+case class GraftStreamBatchPartition(table: String, batchIdx: Int)
+    extends InputPartition
+
+class GraftStreamReaderFactory(fullSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftStreamBatchPartition]
+    new GraftBatchSliceReader(part.table, part.batchIdx, fullSchema, required)
+  }
+}
+
+/** Serves exactly one committed batch (by commit-order index). */
+class GraftBatchSliceReader(table: String, batchIdx: Int,
+    fullSchema: StructType, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val idx = required.fieldNames.map(fullSchema.fieldIndex)
+  private val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(required)
+  private val rows: Iterator[Row] = {
+    val batches = MemorySinkRegistry.allFor(table)
+    if (batchIdx < batches.size) batches(batchIdx)._2.iterator
+    else Iterator.empty
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!rows.hasNext) false
+    else {
+      val r = rows.next()
+      current = toCatalyst(Row.fromSeq(idx.map(r.get).toIndexedSeq))
+        .asInstanceOf[InternalRow]
+      true
+    }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
 }
 
 case class GraftMemoryPartition(table: String, pid: Int)

@@ -121,6 +121,53 @@ class Dsv2ReadSpec extends AnyFunSuite with SparkSuite {
     assert(FilterSql.render(EqualTo("f", true)).contains("`f` = 1"))
   }
 
+  test("streaming read replays committed batches as micro-batches") {
+    MemorySinkRegistry.clear()
+    import spark.implicits._
+    def writeBatch(ids: Seq[Long]): Unit =
+      ids.map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "score")
+        .coalesce(1).write.format("clickhouse-style")
+        .option("url", "clickhouse://localhost:8123")
+        .option("table-name", "t_stream")
+        .option("graft.executor", "memory")
+        .mode("append").save()
+    writeBatch(1L to 3L)
+    val q = spark.readStream.format("clickhouse-style")
+      .schema(schema)
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t_stream")
+      .option("graft.executor", "memory")
+      .load()
+      .writeStream.format("memory").queryName("t_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_stream_out").count() == 3)
+      // rows appended AFTER stream start arrive in a later micro-batch
+      writeBatch(4L to 5L)
+      q.processAllAvailable()
+      val got = spark.table("t_stream_out")
+      assert(got.count() == 5)
+      assert(got.collect().map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+    } finally q.stop()
+  }
+
+  test("streaming read of a jdbc endpoint fails at stream start") {
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("clickhouse-style")
+        .schema(schema)
+        .option("url", "clickhouse://localhost:8123")
+        .option("table-name", "t_jdbc_stream")
+        .load()
+        .writeStream.format("memory").queryName("t_jdbc_stream_out")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("change cursor") ||
+      Option(e.getCause).exists(_.getMessage.contains("change cursor")),
+      e.toString)
+  }
+
   test("shard-aware read plans one partition per write-local node") {
     val opts = graft.sink.GraftSinkOptions.fromMap(Map(
       "url" -> "clickhouse://coordinator:8123",
