@@ -195,6 +195,36 @@ object Round3cQueries {
           count(lit(1)).as("n_small"))
     }),
 
+    // Runtime semi-join reduction: a bloom filter over the urgent
+    // orders' keys (built once, driver-side — the same one aggregate
+    // job AQE's runtime filters run) prunes the lineitem scan BEFORE
+    // its shuffle through the codegen'd graft_bloom_might_contain
+    // probe. At 100 TB: ~1 MB of bits to every task instead of
+    // shuffling the ~80% of fact rows that cannot join. Results are
+    // exactly the plain join's — no false negatives, and false
+    // positives die in the real join — so the oracle is ordinary SQL.
+    "q_bloom_join" -> ((s, dir) => {
+      graft.expressions.BloomExpressions.register(s)
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val bloom = urgent.stat.bloomFilter("o_orderkey",
+        expectedNumItems = 1000000L, fpp = 0.01)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      val prunedLi = t(s, dir, "lineitem")
+        .filter(call_function("graft_bloom_might_contain",
+          col("l_orderkey"), lit(bytes)))
+      prunedLi.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q21 shape: suppliers who kept multi-supplier orders
     // waiting — the only late supplier on an order with >1 suppliers
     // (late = shipped >90 days after the order date; the schema has no
@@ -336,6 +366,15 @@ object Round3cQueries {
         |  count(*) AS n_small
         |FROM li JOIN stats ON l_partkey = sp_key
         |WHERE 5 * n_li * CAST(l_quantity AS DECIMAL(9,2)) < sum_qty""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q_tpch_q21" ->
       """WITH per_order AS (

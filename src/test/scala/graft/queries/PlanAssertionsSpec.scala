@@ -96,6 +96,11 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q_bloom_join probes the bloom filter on the fact side pre-join") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("bloommightcontain"), p.take(2000))
+  }
+
   test("q_shuffle_hash_join honors the shuffle-hash hint") {
     assert(plan("q_shuffle_hash_join").contains("ShuffledHashJoin"))
   }
