@@ -298,7 +298,9 @@ object AdvancedQueries {
     // replaces per-row UDFs.
     "q_higher_order_funcs" -> ((s, dir) => {
       val ws = split(col("text"), " ")
-      t(s, dir, "documents")
+      // interpreted lambda folds are per-row CPU: spread the single-file
+      // scan across the cluster first (PipelineQueries.spread rationale)
+      PipelineQueries.spread(s, t(s, dir, "documents"))
         .select(col("doc_id"),
           size(filter(ws, w => length(w) > 5)).as("n_long_tokens"),
           array_max(transform(ws, w => length(w))).as("max_token_len"),

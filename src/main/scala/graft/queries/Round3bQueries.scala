@@ -143,7 +143,8 @@ object Round3bQueries {
     // — no explode, no aggregation, codegen end to end. The quality
     // gate every 100 TB corpus applies before training.
     "quality_repetition" -> ((s, dir) =>
-      t(s, dir, "documents")
+      // O(distinct·n) per-row folds: spread the single-file scan first
+      PipelineQueries.spread(s, t(s, dir, "documents"))
         .withColumn("ws", split(col("text"), " "))
         .withColumn("n_tokens", size(col("ws")))
         .withColumn("top_cnt",
