@@ -203,6 +203,35 @@ object Round3bQueries {
         .limit(20)
     }),
 
+    // One BPE merge step (the tokenizer-training primitive): count all
+    // adjacent character pairs inside words, pick the most frequent
+    // (ties by pair text), and apply the merge corpus-wide, reporting
+    // merges per document. Pair counts shuffle map-side-combined on the
+    // pair; the winning pair broadcasts back over the corpus; the merge
+    // count per word is the exact non-overlapping-replace length delta
+    // (both engines replace left-to-right), integer-divided — no FP
+    // anywhere. At 100 TB each training iteration is one combine
+    // shuffle of (pair, count) rows plus a broadcast.
+    "bpe_merge_step" -> ((s, dir) => {
+      val words = PipelineQueries.spread(s, t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val pairs = words.select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      val top = broadcast(
+        pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .select("pair"))
+      words.crossJoin(top)
+        .withColumn("m", expr(
+          "(length(w) - length(replace(w, pair, ''))) div 2"))
+        .groupBy("doc_id", "pair")
+        .agg(sum(col("m")).as("n_merges"))
+        .orderBy("doc_id")
+    }),
+
     // K-means assignment step (the E-step of Lloyd's algorithm, and the
     // partitioner of semantic-dedup clustering): each vector assigned
     // to its nearest of 8 broadcast centroids by squared euclidean
@@ -379,6 +408,28 @@ object Round3bQueries {
         |CROSS JOIN n
         |ORDER BY c_xy DESC, w1, w2
         |LIMIT 20""".stripMargin,
+
+    "bpe_merge_step" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |),
+        |w2 AS (SELECT doc_id, w FROM w0 WHERE length(w) >= 2),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM w2
+        |),
+        |top AS (
+        |  SELECT pair FROM (
+        |    SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+        |  ) ORDER BY cnt DESC, pair LIMIT 1
+        |)
+        |SELECT doc_id, pair,
+        |  CAST(sum((length(w) - length(replace(w, pair, ''))) // 2)
+        |    AS BIGINT) AS n_merges
+        |FROM w2, top GROUP BY 1, 2
+        |ORDER BY doc_id""".stripMargin,
 
     "embedding_kmeans_assign" -> {
       // the ONE dot-product fold definition shared with PipelineQueries'
