@@ -150,6 +150,28 @@ object StreamingOps {
     intervalJoin(left, right, tsLeft, tsRight, watermark, lower,
       joinType = "left_outer")
 
+  /** Full-outer stream-stream interval join: unmatched rows from BOTH
+    * sides emit null-padded once the watermark closes their interval —
+    * the complete outer-join matrix Flink's interval join exposes, with
+    * Spark's watermark protocol bounding state on both sides. Unlike
+    * the inner/left variants the key survives as `join_key` =
+    * coalesce(left, right): dropping the right key would orphan
+    * right-only rows (their left key is null).
+    */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame,
+      tsLeft: String, tsRight: String, watermark: String,
+      lower: String): DataFrame = {
+    val l = left.withWatermark(tsLeft, watermark)
+    val r = right.withWatermark(tsRight, watermark)
+    l.join(r,
+        l("user_id") === r("user_id") &&
+        r(tsRight) <= l(tsLeft) &&
+        r(tsRight) >= l(tsLeft) - expr(s"INTERVAL $lower"),
+        "full_outer")
+      .withColumn("join_key", coalesce(l("user_id"), r("user_id")))
+      .drop(l("user_id")).drop(r("user_id"))
+  }
+
   /** Keyed state with an event-time TIMER (Flink ProcessFunction timer
     * parity): per-key running net that emits a FINAL record only when
     * the watermark passes last-event-time + gap — the state expires and

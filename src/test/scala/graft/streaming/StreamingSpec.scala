@@ -240,6 +240,42 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq((1L, 100L), (2L, -1L), (3L, 102L)))
   }
 
+  test("full-outer interval join null-pads BOTH sides, key preserved") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamingOps.intervalJoinFullOuter(
+      clicks.toDF().withColumnRenamed("ts", "c_ts")
+        .withColumnRenamed("event_id", "c_id"),
+      purchases.toDF().withColumnRenamed("ts", "p_ts")
+        .withColumnRenamed("event_id", "p_id"),
+      tsLeft = "c_ts", tsRight = "p_ts",
+      watermark = "10 minutes", lower = "10 minutes")
+      .select("join_key", "c_id", "p_id")
+    runToMemory(joined, "interval_full_out", "append")(
+      () => purchases.addData(
+        Ev(100, ts(0), 1, 9.0),    // matched by click 1
+        Ev(101, ts(5), 3, 9.0)),   // no click: right-only null row
+      () => clicks.addData(
+        Ev(1, ts(5), 1, 1.0),      // matches purchase 100
+        Ev(2, ts(5), 2, 1.0)),     // no purchase: left-only null row
+      // advance both watermarks far past every open interval
+      () => { clicks.addData(Ev(3, ts(120), 9, 1.0))
+              purchases.addData(Ev(102, ts(120), 9, 9.0)) })
+    val got = spark.table("interval_full_out").orderBy("join_key")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // key survives on BOTH null-padded sides via coalesce
+    assert(got.toSeq == Seq(
+      (1L, 1L, 100L),    // matched
+      (2L, 2L, -1L),     // left-only: no purchase for key 2
+      (3L, -1L, 101L),   // right-only: no click for key 3
+      (9L, 3L, 102L)),   // the watermark-advancing pair matches itself
+      got.mkString(", "))
+  }
+
   test("event-time timer expires keyed state and emits the final net") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
