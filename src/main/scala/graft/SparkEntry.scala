@@ -28,7 +28,8 @@ object SparkEntry {
     Pipeline2Queries.queries ++
     Round3Queries.queries ++
     Round3bQueries.queries ++
-    Round3cQueries.queries
+    Round3cQueries.queries ++
+    Round3dQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -41,5 +42,6 @@ object SparkEntry {
     Pipeline2Queries.oracle ++
     Round3Queries.oracle ++
     Round3bQueries.oracle ++
-    Round3cQueries.oracle
+    Round3cQueries.oracle ++
+    Round3dQueries.oracle
 }

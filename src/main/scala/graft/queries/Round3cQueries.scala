@@ -234,15 +234,22 @@ object Round3cQueries {
     "q_tpch_q21" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders")
-      val perOrder = li
+      // two-level aggregate instead of two COUNT(DISTINCT ...): the
+      // Expand-based distinct rewrite would triple the fact rows through
+      // the shuffle; collapsing to (order, supplier) first, then
+      // counting plain rows, moves each combination exactly once
+      val perSupp = li
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(expr("bool_or(late)").as("supp_late"))
+      val perOrder = perSupp
         .groupBy("l_orderkey")
         .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
-          max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+          count(lit(1)).as("n_supp"),
+          sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late"),
+          max(when(col("supp_late"), col("l_suppkey"))).as("late_supp"))
       perOrder
         .filter(col("n_supp") > 1 && col("n_late") === 1)
         .groupBy("late_supp")

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-3 fourth batch: the remaining relational-surface corners —
+  * multiset set operations (INTERSECT ALL / EXCEPT ALL, which keep
+  * duplicate multiplicities the DISTINCT variants collapse), boolean
+  * aggregates (bool_and / bool_or / count_if), the right- and
+  * full-outer join directions (the left variants' mirrors, with
+  * unmatched-side retention), and edit-distance near-dup detection
+  * (levenshtein — an exact integer DP identical in both engines, so
+  * the fuzzy-matching query still oracle-checks bitwise).
+  *
+  * Scale posture: set ops and boolean aggregates are partial-aggregated
+  * single shuffles; the outer joins follow the usual dimension
+  * broadcast rules (right-outer builds on the stream side's mirror);
+  * levenshtein pairs are blocked by brand so the candidate set is
+  * Σ(block²), never n².
+  */
+object Round3dQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // INTERSECT ALL: multiset intersection — each supplier key appears
+    // min(count_A, count_B) times, the multiplicity the DISTINCT
+    // variant (q_intersect) collapses. Spark plans this as an
+    // aggregate-with-counts + generate, one shuffle on the value.
+    "q_intersect_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "R").select("l_suppkey")
+        .intersectAll(
+          li.filter(col("l_linestatus") === "F").select("l_suppkey"))
+        .orderBy("l_suppkey")
+    }),
+
+    // EXCEPT ALL: multiset difference — count_A − count_B occurrences
+    // survive per key.
+    "q_except_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "R").select("l_partkey")
+        .exceptAll(
+          li.filter(col("l_linestatus") === "F").select("l_partkey"))
+        .orderBy("l_partkey")
+    }),
+
+    // Boolean aggregates: ALL/ANY predicates and conditional counts per
+    // group — one partial-aggregated scan.
+    "q_bool_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+          expr("bool_or(o_totalprice > 100000)").as("any_over_100k"),
+          expr("count_if(o_orderstatus = 'F')").as("n_finished"))
+        .orderBy("o_orderpriority")),
+
+    // Right-outer join: parts with no lineitem survive with count 0 —
+    // the mirror of q_left_join's null padding, counted per part.
+    "q_right_join" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"), "right")
+        .groupBy("p_partkey")
+        .agg(count(col("l_orderkey")).as("n_lines"))
+        .orderBy("p_partkey")),
+
+    // Full-outer join: customers without big orders AND big orders
+    // whose customer fell outside the filtered customer set both
+    // survive null-padded; the key is coalesced so no row loses its
+    // identity (same rule as the streaming full-outer interval join).
+    "q_full_outer_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val big = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey"), col("o_orderkey"))
+      cust.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("cust"),
+          col("c_custkey").isNotNull.cast("int").as("has_cust"),
+          col("o_orderkey"))
+        .orderBy(col("cust"), col("o_orderkey"))
+    }),
+
+    // Edit-distance near-dup: levenshtein(a, b) <= 3 within brand
+    // blocks — fuzzy matching with an EXACT integer result (classic DP,
+    // identical in Spark and DuckDB). The engine runs the DP only on
+    // DISTINCT (brand, name) combinations and weights pair counts by
+    // name multiplicity — names repeat heavily, so this is thousands of
+    // distance evaluations instead of the millions the raw self-join
+    // would do (the brute-force formulation IS the oracle, which
+    // independently confirms the rewrite). Same-name pairs contribute
+    // C(m,2) exact duplicates; cross-name pairs m_a·m_b each.
+    "dedup_levenshtein" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .groupBy(col("p_brand"), col("p_name"))
+        .agg(count(lit(1)).as("m"))
+      val a = names.select(col("p_brand").as("brand"),
+        col("p_name").as("na"), col("m").as("ma"))
+      val b = names.select(col("p_brand").as("brand_b"),
+        col("p_name").as("nb"), col("m").as("mb"))
+      a.join(b, col("brand") === col("brand_b") && col("na") <= col("nb"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
+        .filter(col("dist") <= 3)
+        .withColumn("pairs",
+          when(col("na") === col("nb"),
+            expr("ma * (ma - 1) div 2"))
+            .otherwise(col("ma") * col("mb")))
+        .filter(col("pairs") > 0) // a singleton same-name group is no pair
+        .groupBy(col("brand"))
+        .agg(
+          sum(col("pairs")).as("n_near_pairs"),
+          sum(when(col("dist") === 0, col("pairs")).otherwise(0L))
+            .as("n_exact"),
+          min(when(col("dist") > 0, col("dist"))).as("min_fuzzy_dist"))
+        .orderBy("brand")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  val oracle: Map[String, String] = Map(
+
+    "q_intersect_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT ALL
+        |SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_bool_agg" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 100000) AS any_over_100k,
+        |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_right_join" ->
+      """SELECT p_partkey, count(l_orderkey) AS n_lines
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_full_outer_join" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS cust,
+        |  CAST(c_custkey IS NOT NULL AS INT) AS has_cust,
+        |  o_orderkey
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer
+        |      WHERE c_acctbal > 0) c
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |                 WHERE o_totalprice > 150000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY cust, o_orderkey""".stripMargin,
+
+    "dedup_levenshtein" ->
+      """SELECT a.p_brand AS brand,
+        |  count(*) AS n_near_pairs,
+        |  CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(min(CASE WHEN levenshtein(a.p_name, b.p_name) > 0
+        |    THEN levenshtein(a.p_name, b.p_name) END) AS INT)
+        |    AS min_fuzzy_dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |GROUP BY a.p_brand
+        |ORDER BY brand""".stripMargin
+  )
+}
