@@ -189,7 +189,10 @@ object Round3bQueries {
       val uni = ws
         .select(explode(col("ws")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      val nTotal = pairs.agg(count(lit(1)).as("n_pairs"))
+      // total pair count from the ALREADY-aggregated bigram table —
+      // summing counts over the vocabulary-sized bi, not a third
+      // scan+explode of the corpus
+      val nTotal = bi.agg(sum(col("c_xy")).as("n_pairs"))
       bi.join(broadcast(uni.withColumnRenamed("w", "w1")
             .withColumnRenamed("c", "c_x")), "w1")
         .join(broadcast(uni.withColumnRenamed("w", "w2")

@@ -15,10 +15,10 @@ import graft.Tables
   * the fuzzy-matching query still oracle-checks bitwise).
   *
   * Scale posture: set ops and boolean aggregates are partial-aggregated
-  * single shuffles; the outer joins follow the usual dimension
-  * broadcast rules (right-outer builds on the stream side's mirror);
-  * levenshtein pairs are blocked by brand so the candidate set is
-  * Σ(block²), never n².
+  * single shuffles; the right-outer join is FORCED to sort-merge
+  * (its only broadcastable build side is the fact — a shape that
+  * cannot survive scale); levenshtein runs its DP on distinct names
+  * only, with multiplicity-weighted pair counts.
   */
 object Round3dQueries {
 
@@ -62,8 +62,11 @@ object Round3dQueries {
 
     // Right-outer join: parts with no lineitem survive with count 0 —
     // the mirror of q_left_join's null padding, counted per part.
+    // Forced to sort-merge: a right-outer BroadcastHashJoin can only
+    // build the LEFT (fact) side, a shape that cannot exist at 100 TB —
+    // the hint keeps the committed plan contract honest at scale.
     "q_right_join" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      t(s, dir, "lineitem").hint("merge")
         .join(t(s, dir, "part"),
           col("l_partkey") === col("p_partkey"), "right")
         .groupBy("p_partkey")

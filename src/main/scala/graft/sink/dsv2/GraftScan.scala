@@ -168,9 +168,7 @@ class GraftBatchSliceReader(table: String, batchIdx: Int,
     fullSchema: StructType, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val idx = required.fieldNames.map(fullSchema.fieldIndex)
-  private val toCatalyst =
-    CatalystTypeConverters.createToCatalystConverter(required)
+  private val project = RowProjection(fullSchema, required)
   private val rows: Iterator[Row] = {
     val batches = MemorySinkRegistry.allFor(table)
     if (batchIdx < batches.size) batches(batchIdx)._2.iterator
@@ -181,9 +179,7 @@ class GraftBatchSliceReader(table: String, batchIdx: Int,
   override def next(): Boolean =
     if (!rows.hasNext) false
     else {
-      val r = rows.next()
-      current = toCatalyst(Row.fromSeq(idx.map(r.get).toIndexedSeq))
-        .asInstanceOf[InternalRow]
+      current = project(rows.next())
       true
     }
 
@@ -211,6 +207,32 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
     }
 }
 
+/** Shared projection of a buffered external Row (the writer's physical
+  * layout) to the pruned read schema, in catalyst form. The one
+  * type-shape fix-up: the writer stores TimestampNTZ values as
+  * java.sql.Timestamp (GraftDataWriter.toExternalRow), but Catalyst's
+  * NTZ converter accepts only java.time.LocalDateTime.
+  */
+private[dsv2] object RowProjection {
+
+  def apply(fullSchema: StructType,
+      required: StructType): Row => InternalRow = {
+    val idx = required.fieldNames.map(fullSchema.fieldIndex)
+    val isNtz = required.fields.map(_.dataType == TimestampNTZType)
+    val toCatalyst =
+      CatalystTypeConverters.createToCatalystConverter(required)
+    r => {
+      val vals = idx.zipWithIndex.map { case (srcIdx, outIdx) =>
+        r.get(srcIdx) match {
+          case t: java.sql.Timestamp if isNtz(outIdx) => t.toLocalDateTime
+          case v => v
+        }
+      }
+      toCatalyst(Row.fromSeq(vals.toIndexedSeq)).asInstanceOf[InternalRow]
+    }
+  }
+}
+
 /** Reads back the physical rows a memory-executor write buffered for one
   * writer partition, projecting to the pruned schema by field name
   * (positions resolved against the declared full schema).
@@ -219,9 +241,7 @@ class GraftMemoryReader(table: String, pid: Int,
     fullSchema: StructType, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val idx = required.fieldNames.map(fullSchema.fieldIndex)
-  private val toCatalyst =
-    CatalystTypeConverters.createToCatalystConverter(required)
+  private val project = RowProjection(fullSchema, required)
   private val rows: Iterator[Row] = MemorySinkRegistry.allFor(table)
     .filter(_._1 == pid).flatMap(_._2).iterator
   private var current: InternalRow = _
@@ -229,9 +249,7 @@ class GraftMemoryReader(table: String, pid: Int,
   override def next(): Boolean =
     if (!rows.hasNext) false
     else {
-      val r = rows.next()
-      current = toCatalyst(Row.fromSeq(idx.map(r.get).toIndexedSeq))
-        .asInstanceOf[InternalRow]
+      current = project(rows.next())
       true
     }
 
@@ -255,7 +273,13 @@ class GraftJdbcReader(url: String, sql: String, required: StructType,
     password.foreach(props.setProperty("password", _))
     DriverManager.getConnection(url, props)
   }
-  private lazy val rs: ResultSet = conn.createStatement().executeQuery(sql)
+  // not lazy-forced in close(): a task cancelled before its first
+  // next() must not execute the whole SELECT just to tear down
+  private var opened = false
+  private lazy val rs: ResultSet = {
+    opened = true
+    conn.createStatement().executeQuery(sql)
+  }
   private val toCatalyst =
     CatalystTypeConverters.createToCatalystConverter(required)
 
@@ -275,7 +299,11 @@ class GraftJdbcReader(url: String, sql: String, required: StructType,
         case StringType => rs.getString(i + 1)
         case BinaryType => rs.getBytes(i + 1)
         case DateType => rs.getDate(i + 1)
-        case TimestampType | TimestampNTZType => rs.getTimestamp(i + 1)
+        case TimestampType => rs.getTimestamp(i + 1)
+        // Catalyst's NTZ converter accepts LocalDateTime only — a
+        // java.sql.Timestamp here would throw at conversion time
+        case TimestampNTZType =>
+          Option(rs.getTimestamp(i + 1)).map(_.toLocalDateTime).orNull
         case dt => throw new UnsupportedOperationException(
           s"Unsupported read type $dt") // same contract as the writer
       }
@@ -284,7 +312,7 @@ class GraftJdbcReader(url: String, sql: String, required: StructType,
     toCatalyst(Row.fromSeq(values.toIndexedSeq)).asInstanceOf[InternalRow]
   }
 
-  override def close(): Unit = {
+  override def close(): Unit = if (opened) {
     try rs.close() catch { case _: Throwable => () }
     try conn.close() catch { case _: Throwable => () }
   }
@@ -303,13 +331,18 @@ object FilterSql {
     case s: String => Some("'" + s.replace("\\", "\\\\")
       .replace("'", "\\'") + "'")
     case b: Boolean => Some(if (b) "1" else "0")
-    case n @ (_: Byte | _: Short | _: Int | _: Long |
-              _: Float | _: Double) => Some(n.toString)
+    // non-finite floats don't push: 'Infinity' is not a SQL literal,
+    // and SQL `x = NaN` is false where Spark's NaN semantics match
+    case f: Float if java.lang.Float.isFinite(f) => Some(f.toString)
+    case d: Double if java.lang.Double.isFinite(d) => Some(d.toString)
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: BigDecimal => Some(d.underlying.toPlainString)
-    case d: java.sql.Date => Some(s"'$d'")
-    case t: java.sql.Timestamp => Some(s"'$t'")
-    case _ => None // arrays/structs/binary don't push
+    // Date/Timestamp literals stay residual: java.sql.Timestamp
+    // renders in the JVM default timezone and the server would parse
+    // it in ITS timezone — a pushed predicate could silently drop rows
+    // the residual cannot restore, breaking the bandwidth-only contract
+    case _ => None // temporals/arrays/structs/binary don't push
   }
 
   /** LIKE-pattern escape for the _ and % metacharacters. */

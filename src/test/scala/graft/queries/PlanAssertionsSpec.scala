@@ -82,7 +82,8 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkSuite {
     // derived isnotnull(dot) scans. fencedFilter pins the fence; this
     // guards the pin.
     for (q <- Seq("similarity_self_join_dedup", "similarity_lsh_bucketed",
-        "dedup_embedding_cosine", "dedup_ngram_jaccard")) {
+        "dedup_embedding_cosine", "dedup_ngram_jaccard",
+        "dedup_containment")) {
       val exec = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.executedPlan
       val joinConds = PlanSignature.nodes(exec).collect {

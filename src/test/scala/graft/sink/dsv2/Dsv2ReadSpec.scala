@@ -119,6 +119,40 @@ class Dsv2ReadSpec extends AnyFunSuite with SparkSuite {
       Or(EqualTo("a", 1), EqualTo("b", Array[Byte](1)))).isEmpty)
     // boolean and decimal literals
     assert(FilterSql.render(EqualTo("f", true)).contains("`f` = 1"))
+    // non-finite floats and temporal literals must stay residual —
+    // pushing them could silently drop rows (NaN semantics, timezone)
+    assert(FilterSql.render(EqualTo("d", Double.NaN)).isEmpty)
+    assert(FilterSql.render(GreaterThan("d",
+      Double.PositiveInfinity)).isEmpty)
+    assert(FilterSql.render(GreaterThan("ts",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).isEmpty)
+    assert(FilterSql.render(EqualTo("dt",
+      java.sql.Date.valueOf("2024-01-01"))).isEmpty)
+  }
+
+  test("TimestampNTZ column survives the write-then-read roundtrip") {
+    MemorySinkRegistry.clear()
+    import spark.implicits._
+    val ntzSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("t", TimestampNTZType)))
+    val ldt = java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)
+    Seq((1L, ldt), (2L, ldt.plusHours(1)))
+      .toDF("id", "t")
+      .coalesce(1).write.format("clickhouse-style")
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t_ntz")
+      .option("graft.executor", "memory")
+      .mode("append").save()
+    val got = spark.read.format("clickhouse-style")
+      .schema(ntzSchema)
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", "t_ntz")
+      .option("graft.executor", "memory")
+      .load().collect()
+    assert(got.length == 2)
+    assert(got.map(_.getAs[java.time.LocalDateTime]("t")).toSet ==
+      Set(ldt, ldt.plusHours(1)))
   }
 
   test("streaming read replays committed batches as micro-batches") {
