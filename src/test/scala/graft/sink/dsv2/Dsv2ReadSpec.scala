@@ -186,6 +186,51 @@ class Dsv2ReadSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming read restarts from its checkpoint without re-delivery") {
+    MemorySinkRegistry.clear()
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    def writeBatch(ids: Seq[Long]): Unit =
+      ids.map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "score")
+        .coalesce(1).write.format("clickhouse-style")
+        .option("url", "clickhouse://localhost:8123")
+        .option("table-name", "t_ckpt")
+        .option("graft.executor", "memory")
+        .mode("append").save()
+    // output goes through our own DSv2 streaming sink (Spark's memory
+    // sink rejects checkpoint recovery as non-fault-tolerant)
+    def startStream() =
+      spark.readStream.format("clickhouse-style")
+        .schema(schema)
+        .option("url", "clickhouse://localhost:8123")
+        .option("table-name", "t_ckpt")
+        .option("graft.executor", "memory")
+        .load()
+        .writeStream.format("clickhouse-style")
+        .option("url", "clickhouse://localhost:8123")
+        .option("table-name", "t_ckpt_out")
+        .option("graft.executor", "memory")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    writeBatch(1L to 3L)
+    val q1 = startStream()
+    try { q1.processAllAvailable() } finally q1.stop()
+    def delivered: Seq[Long] = MemorySinkRegistry.allFor("t_ckpt_out")
+      .flatMap(_._2).map(_.getLong(0)).sorted
+    assert(delivered == Seq(1L, 2L, 3L), delivered.mkString(", "))
+    // rows appended while the stream is DOWN; the delivered set is
+    // cleared so the restart's output shows exactly the delta
+    MemorySinkRegistry.clearTable("t_ckpt_out")
+    writeBatch(4L to 5L)
+    // restart from the same checkpoint: the committed offset must
+    // deserialize and only the two new rows arrive — re-delivery of
+    // the first batches would show 1..5
+    val q2 = startStream()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(delivered == Seq(4L, 5L), delivered.mkString(", "))
+  }
+
   test("streaming read of a jdbc endpoint fails at stream start") {
     val e = intercept[Exception] {
       val q = spark.readStream.format("clickhouse-style")
