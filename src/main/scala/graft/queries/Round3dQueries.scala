@@ -92,6 +92,41 @@ object Round3dQueries {
         .orderBy(col("cust"), col("o_orderkey"))
     }),
 
+    // Two PageRank iterations over the part co-purchase graph (parts
+    // sharing an order, distinct directed edges both ways), in INTEGER
+    // fixed-point (scale 10⁹): contrib = rank div degree, rank' =
+    // 0.15·S + (85·Σcontrib) div 100 — integer sums are exactly
+    // associative, so the result is deterministic under ANY partition/
+    // aggregation order, which no floating-point PageRank can claim.
+    // Per iteration: one shuffle join of ranks onto edges + one
+    // aggregate by destination — the standard scalable shape (edges
+    // pre-joined with out-degrees once).
+    "graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // weighted multigraph: each co-occurrence is an edge (no distinct
+      // pass — the weights make repeat co-purchases count more, and
+      // integer math stays exact either way)
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") =!= col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      val edgesD = edges
+        .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      // uniform seed over the part dimension (no extra edge pass;
+      // parts that never co-occur contribute nothing downstream)
+      val ranks0 = t(s, dir, "part").select(col("p_partkey").as("node"))
+        .withColumn("r", lit(1000000000L))
+      def step(ranks: DataFrame): DataFrame =
+        edgesD.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy("dst")
+          .agg(expr("150000000 + (85 * sum(contrib)) div 100").as("r"))
+          .select(col("dst").as("node"), col("r"))
+      step(step(ranks0))
+        .orderBy(col("r").desc, col("node"))
+        .limit(20)
+    }),
+
     // Edit-distance near-dup: levenshtein(a, b) <= 3 within brand
     // blocks — fuzzy matching with an EXACT integer result (classic DP,
     // identical in Spark and DuckDB). The engine runs the DP only on
@@ -167,6 +202,41 @@ object Round3dQueries {
         |                 WHERE o_totalprice > 150000) o
         |  ON c_custkey = o_custkey
         |ORDER BY cust, o_orderkey""".stripMargin,
+
+    "graph_pagerank" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |),
+        |edges AS (
+        |  SELECT x.pk AS src, y.pk AS dst
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk
+        |),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |r0 AS (
+        |  SELECT p_partkey AS node, CAST(1000000000 AS BIGINT) AS r
+        |  FROM part
+        |),
+        |s1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000000 + (85 * sum(r0.r // d.deg)) // 100 AS BIGINT)
+        |      AS r
+        |  FROM edges e
+        |  JOIN deg d ON e.src = d.src
+        |  JOIN r0 ON e.src = r0.node
+        |  GROUP BY e.dst
+        |),
+        |s2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000000 + (85 * sum(s1.r // d.deg)) // 100 AS BIGINT)
+        |      AS r
+        |  FROM edges e
+        |  JOIN deg d ON e.src = d.src
+        |  JOIN s1 ON e.src = s1.node
+        |  GROUP BY e.dst
+        |)
+        |SELECT node, r FROM s2
+        |ORDER BY r DESC, node
+        |LIMIT 20""".stripMargin,
 
     "dedup_levenshtein" ->
       """SELECT a.p_brand AS brand,
