@@ -92,6 +92,53 @@ object Round3dQueries {
         .orderBy(col("cust"), col("o_orderkey"))
     }),
 
+    // Resize/letterbox planning for the multimodal decode path: each
+    // payload's (synthetic, deterministic) source dimensions are scaled
+    // to fit a 512×512 target with aspect preserved — all INTEGER
+    // arithmetic ((h·512) div w, centered padding div 2), the plan a
+    // mapPartitions image decoder executes per frame. Zero shuffles
+    // except the output sort; the real decode stays stubbed (no image
+    // libs in this environment) but the planning math is the
+    // production shape.
+    "multimodal_resize_plan" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (pmod(col("doc_id") * 37, lit(1280)) + 64).as("src_w"),
+          (pmod(col("doc_id") * 73, lit(720)) + 64).as("src_h"))
+        .withColumn("scale_num", least(
+          expr("(512 * 1000000) div src_w"),
+          expr("(512 * 1000000) div src_h")))
+        .withColumn("out_w", expr("(src_w * scale_num) div 1000000"))
+        .withColumn("out_h", expr("(src_h * scale_num) div 1000000"))
+        .withColumn("pad_x", expr("(512 - out_w) div 2"))
+        .withColumn("pad_y", expr("(512 - out_h) div 2"))
+        .select("doc_id", "src_w", "src_h", "out_w", "out_h",
+          "pad_x", "pad_y")
+        .orderBy("doc_id")),
+
+    // Composite quality gate: the per-document verdict a corpus filter
+    // emits — each rule evaluated from exact counts, the failure
+    // reasons concatenated deterministically, keep = no failures. One
+    // scan, no shuffle before the output sort.
+    "quality_gate" -> ((s, dir) =>
+      PipelineQueries.spread(s, t(s, dir, "documents"))
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("n_distinct",
+          size(array_distinct(split(col("text"), " "))))
+        .withColumn("r_short", col("n_chars") < 100)
+        .withColumn("r_few", col("n_tokens") < 15)
+        .withColumn("r_repeat",
+          col("n_distinct") * 4 < col("n_tokens")) // <25% distinct
+        .withColumn("reasons", concat_ws(",",
+          when(col("r_short"), lit("too_short")),
+          when(col("r_few"), lit("too_few_tokens")),
+          when(col("r_repeat"), lit("repetitive"))))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (!(col("r_short") || col("r_few") || col("r_repeat")))
+            .as("keep"),
+          col("reasons"))
+        .orderBy("doc_id")),
+
     // Two PageRank iterations over the part co-purchase graph (parts
     // sharing an order, distinct directed edges both ways), in INTEGER
     // fixed-point (scale 10⁹): contrib = rank div degree, rank' =
@@ -202,6 +249,53 @@ object Round3dQueries {
         |                 WHERE o_totalprice > 150000) o
         |  ON c_custkey = o_custkey
         |ORDER BY cust, o_orderkey""".stripMargin,
+
+    "multimodal_resize_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (doc_id * 37) % 1280 + 64 AS src_w,
+        |    (doc_id * 73) % 720 + 64 AS src_h
+        |  FROM documents
+        |),
+        |sc AS (
+        |  SELECT *, LEAST((512 * 1000000) // src_w,
+        |                  (512 * 1000000) // src_h) AS scale_num
+        |  FROM d
+        |),
+        |o AS (
+        |  SELECT doc_id, src_w, src_h,
+        |    (src_w * scale_num) // 1000000 AS out_w,
+        |    (src_h * scale_num) // 1000000 AS out_h
+        |  FROM sc
+        |)
+        |SELECT doc_id, src_w, src_h, out_w, out_h,
+        |  (512 - out_w) // 2 AS pad_x,
+        |  (512 - out_h) // 2 AS pad_y
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "quality_gate" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |  FROM documents
+        |),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(n_tokens AS INT) AS n_tokens,
+        |    CAST(n_distinct AS INT) AS n_distinct,
+        |    n_chars < 100 AS r_short,
+        |    n_tokens < 15 AS r_few,
+        |    n_distinct * 4 < n_tokens AS r_repeat
+        |  FROM c
+        |)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  NOT (r_short OR r_few OR r_repeat) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN r_short THEN 'too_short' END,
+        |    CASE WHEN r_few THEN 'too_few_tokens' END,
+        |    CASE WHEN r_repeat THEN 'repetitive' END) AS reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "graph_pagerank" ->
       """WITH li AS (
