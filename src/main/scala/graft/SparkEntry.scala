@@ -29,7 +29,8 @@ object SparkEntry {
     Round3Queries.queries ++
     Round3bQueries.queries ++
     Round3cQueries.queries ++
-    Round3dQueries.queries
+    Round3dQueries.queries ++
+    Round3eQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -43,5 +44,6 @@ object SparkEntry {
     Round3Queries.oracle ++
     Round3bQueries.oracle ++
     Round3cQueries.oracle ++
-    Round3dQueries.oracle
+    Round3dQueries.oracle ++
+    Round3eQueries.oracle
 }
