@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // forces GC churn that shows up as multi-second noise on trivial
   // queries (the box has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ~170 queries x 2 passes of whole-stage codegen overflow the default
+  // 240 MB JIT code cache mid-run; once it fills, compilation stops and
+  // trivial queries go 10-20x slower (interpreted serialization loops).
+  "-XX:ReservedCodeCacheSize=1g",
 )

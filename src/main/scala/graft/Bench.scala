@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional arg: comma-separated query names (local dev bisection);
+    // the driver passes none and gets the full sweep
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -37,10 +41,13 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed += name
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-30s ${t}%8.2f s")
+      t
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Warm-up: JIT + codegen + parquet footer caches; not timed — and not
     // penalized: a transient warm-up failure must not poison the gate.
     // dedup_containment fronts the JIT cost of the shingle-intersect hot
@@ -60,11 +67,34 @@ object Bench {
       val t = math.min(force(n), force(n))
       n -> (if (failed.contains(n)) Penalty else t)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    def s3(d: Double): String = f"$d%.3f"
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+        .mkString("{", ",", "}")
+
+    // The full per-query map (~140 entries) overflows the driver's 2000-char
+    // stdout tail window, making the line unparseable (BENCH_r01/r02 both
+    // recorded parsed:null). The complete map goes to a file; stdout gets a
+    // compact line: total + a stable headline subset + the 5 slowest.
+    val detailsPath = java.nio.file.Paths.get("BENCH_DETAILS.json")
+    java.nio.file.Files.write(detailsPath,
+      (s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${jmap(results)},"errors":$errs,"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
+
+    val headline = Seq(
+      "q_hash_agg", "q_inner_join", "q_broadcast_join", "q_tpch_q3",
+      "q_tpch_q5", "q_tpch_q10", "q_tpch_q18", "q_window_running_sum",
+      "q_asof_join", "q_session_gap", "collapsing_net_state",
+      "replacing_latest", "dedup_exact", "dedup_minhash_pairs",
+      "similarity_topk", "similarity_self_join_dedup", "term_tfidf",
+      "lang_id", "quality_score", "token_count", "ann_ivf_topk",
+      "q_sort_limit")
+    val byName = results.toMap
+    val head = headline.flatMap(n => byName.get(n).map(n -> _))
+    val slowest = results.sortBy(-_._2).take(5)
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"slowest":${jmap(slowest)},"errors":$errs,"sf":"$sfDir","details":"BENCH_DETAILS.json"}""")
     spark.stop()
   }
 }

@@ -30,7 +30,8 @@ object SparkEntry {
     Round3bQueries.queries ++
     Round3cQueries.queries ++
     Round3dQueries.queries ++
-    Round3eQueries.queries
+    Round3eQueries.queries ++
+    Round3fQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -45,5 +46,6 @@ object SparkEntry {
     Round3bQueries.oracle ++
     Round3cQueries.oracle ++
     Round3dQueries.oracle ++
-    Round3eQueries.oracle
+    Round3eQueries.oracle ++
+    Round3fQueries.oracle
 }
