@@ -26,12 +26,27 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] on one JVM: the driver heap IS the cluster memory; 8g
-  // forces GC churn that shows up as multi-second noise on trivial
-  // queries (the box has 128 GiB).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // local[32] on one JVM: the driver heap IS the cluster memory. Fixed
+  // Xms=Xmx + pre-touch so the heap never grows/shrinks mid-sweep, and
+  // moderate (20g, box has 128 GiB) rather than huge: with -Xmx48g the
+  // old-gen NEVER filled, so GC never ran, so Spark's GC-triggered
+  // ContextCleaner never released accumulated broadcasts/shuffles.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  "-XX:+AlwaysPreTouch",
   // ~170 queries x 2 passes of whole-stage codegen overflow the default
   // 240 MB JIT code cache mid-run; once it fills, compilation stops and
   // trivial queries go 10-20x slower (interpreted serialization loops).
   "-XX:ReservedCodeCacheSize=1g",
+  // THE r3 bench-stall fix. A long sweep churns thousands of generated
+  // classes through megamorphic core methods (ArrayData.toArray,
+  // InternalRow accessors, ObjectStream internals); each new shape
+  // deoptimizes them, and once a method passes HotSpot's recompilation
+  // cutoff (default 400) it is made not-compilable and runs INTERPRETED
+  // forever — measured 30-150x: q_complex_types 1.6s pass-1 vs 55s
+  // pass-2 with zero GC, thread dumps showing interpreted eval /
+  // ObjectInputStream loops. -1 disables the cutoffs so hot methods are
+  // always eligible for recompilation.
+  "-XX:PerMethodRecompilationCutoff=-1",
+  "-XX:PerBytecodeRecompilationCutoff=-1",
 )

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.{Executors, FutureTask, TimeUnit, TimeoutException}
 
 /** Driver-run benchmark: every SparkEntry.queries entry against
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
@@ -9,15 +10,23 @@ import org.apache.spark.sql.SparkSession
   * each result is forced through a noop datasource write — unlike count(),
   * that materializes every output column (count() would let Catalyst prune
   * the expensive expressions a query exists to exercise).
+  *
+  * Robustness (r4): BENCH_r03 died mid-sweep (SparkContext exit 56) after
+  * nondeterministic multi-minute stalls with near-idle CPU. Every timed
+  * action now runs on a worker thread under its own job group with a hard
+  * timeout — on expiry the job group is cancelled (interruptOnCancel) and
+  * the pass is discarded instead of wedging the sweep. A watchdog dumps
+  * all thread stacks + GC deltas at 30 s so a stall leaves evidence in
+  * stderr rather than an unexplained wall-clock hole. A pass-level failure
+  * no longer poisons the query: the gate takes the min of the passes that
+  * SUCCEEDED, and only a query failing BOTH passes draws the 600 s penalty
+  * (a transiently-stalled harness pass is noise; a query that never
+  * completes is breakage). If the context dies anyway, the next query
+  * rebuilds the session instead of cascading failures to the end of the
+  * sweep.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    // optional arg: comma-separated query names (local dev bisection);
-    // the driver passes none and gets the full sweep
-    val only: Option[Set[String]] =
-      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,22 +37,104 @@ object Bench {
       // Plain 32-way shuffles cost only task-startup ms at this scale.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS); set at session build, not
+      // inside the table loader (a loader must not mutate shared conf).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def force(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failed += name
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  private def dumpThreads(tag: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sb = new StringBuilder(s"[bench][watchdog] $tag — thread dump:\n")
+    Thread.getAllStackTraces.asScala.toSeq.sortBy(_._1.getName)
+      .foreach { case (t, st) =>
+        sb.append(s"  \"${t.getName}\" ${t.getState}\n")
+        st.take(14).foreach(e => sb.append(s"    at $e\n"))
       }
-      val t = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-30s ${t}%8.2f s")
-      t
+    System.err.println(sb.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    // optional arg: comma-separated query names (local dev bisection);
+    // the driver passes none and gets the full sweep
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // hard per-pass ceiling: healthy sf0.1 queries finish in <15 s, so
+    // 150 s is pure stall territory; cancellation beats context death
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "150").toInt
+    var spark = buildSession(cpus)
+    def session(): SparkSession = {
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[bench] SparkContext is dead — rebuilding session")
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        spark = buildSession(cpus)
+      }
+      spark
+    }
+
+    val pool = Executors.newCachedThreadPool { (r: Runnable) =>
+      val t = new Thread(r, "bench-worker"); t.setDaemon(true); t
+    }
+
+    // one timed pass; returns (wallSeconds, succeeded)
+    def force(name: String): (Double, Boolean) = {
+      val s = session()
+      val t0 = System.nanoTime()
+      val gc0 = gcMillis
+      def elapsed: Double = (System.nanoTime() - t0) / 1e9
+      val task = new FutureTask[Unit](() => {
+        // job group set on the worker thread so cancelJobGroup targets
+        // exactly this action's jobs
+        s.sparkContext.setJobGroup(s"bench-$name", name,
+          interruptOnCancel = true)
+        try SparkEntry.queries(name)(s, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        finally s.sparkContext.clearJobGroup()
+      })
+      pool.execute(task)
+      var ok = false
+      var done = false
+      var dumped = false
+      while (!done) {
+        try { task.get(30, TimeUnit.SECONDS); ok = true; done = true }
+        catch {
+          case _: TimeoutException =>
+            if (!dumped) {
+              dumpThreads(f"$name still running at $elapsed%.0f s " +
+                f"(gc +${(gcMillis - gc0) / 1000.0}%.1f s)")
+              dumped = true
+            }
+            if (elapsed > timeoutSec) {
+              System.err.println(
+                f"[bench] $name TIMED OUT at $elapsed%.0f s — cancelling job group")
+              s.sparkContext.cancelJobGroup(s"bench-$name")
+              // give cancellation a bounded window to unwind the action
+              try task.get(60, TimeUnit.SECONDS)
+              catch { case _: Throwable => () }
+              done = true
+            }
+          case e: Throwable =>
+            val cause = Option(e.getCause).getOrElse(e)
+            System.err.println(s"[bench] $name failed: ${cause.getMessage}")
+            done = true
+        }
+      }
+      val t = elapsed
+      System.err.println(f"[bench] $name%-30s ${t}%8.2f s" +
+        f"  gc +${(gcMillis - gc0) / 1000.0}%5.1f s" +
+        (if (ok) "" else "  FAILED"))
+      (t, ok)
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -53,28 +144,35 @@ object Bench {
     // dedup_containment fronts the JIT cost of the shingle-intersect hot
     // loop (ArrayIntersectSize/ShingleArray) that the alphabetically
     // first pair-heavy query would otherwise absorb into its timing.
+    // Respects `only` so a single-query dev bisection stays single-query.
     Seq("q_hash_agg", "dedup_exact", "similarity_topk", "dedup_containment")
-      .filter(SparkEntry.queries.contains).foreach(force)
-    failed.clear()
+      .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
+      .foreach(force)
 
-    // min of two timed passes: JIT warm-up and GC pauses inflate single
-    // local-mode measurements by up to 3x run-to-run; the min is the
-    // stable signal the 2x-regression gate needs.
-    // a failed query must inflate the gated total, not shrink it — its
-    // near-zero wall time would otherwise mask breakage as a speedup
+    // min of the SUCCESSFUL passes of two: JIT warm-up and GC pauses
+    // inflate single local-mode measurements by up to 3x run-to-run; the
+    // min is the stable signal the 2x-regression gate needs. A query that
+    // fails BOTH passes takes a 600 s penalty — breakage must inflate the
+    // gated total, not shrink it via a near-zero failure wall time.
     val Penalty = 600.0
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = names.map { n =>
-      val t = math.min(force(n), force(n))
-      n -> (if (failed.contains(n)) Penalty else t)
+      val passes = Seq(force(n), force(n))
+      val good = passes.collect { case (t, true) => t }
+      val t = if (good.nonEmpty) good.min
+              else { failed += n; Penalty }
+      n -> t
     }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    def s3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: a comma-decimal default locale must not corrupt JSON
+    def s3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + s3(v) }
         .mkString("{", ",", "}")
 
-    // The full per-query map (~140 entries) overflows the driver's 2000-char
+    // The full per-query map (~170 entries) overflows the driver's 2000-char
     // stdout tail window, making the line unparseable (BENCH_r01/r02 both
     // recorded parsed:null). The complete map goes to a file; stdout gets a
     // compact line: total + a stable headline subset + the 5 slowest.
