@@ -20,7 +20,9 @@ object Tables {
       // to microseconds — integer `div`, not `/`, because epoch-nanos
       // (~1.7e18) overflow a double's 53-bit mantissa. Matches DuckDB's
       // own ns->us truncation so oracle SQL sees identical instants.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Requires spark.sql.legacy.parquet.nanosAsLong=true, set by every
+      // entry-point session builder (Bench/Verify/Explain/SparkSuite/...)
+      // — a loader must not mutate shared session conf as a side effect.
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
     } else {

@@ -12,22 +12,55 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def buildSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = buildSession()
+    // a dead context must not cascade failures across the remaining sweep
+    def session(): SparkSession = {
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[verify] SparkContext is dead — rebuilding session")
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        spark = buildSession()
+      }
+      spark
+    }
     new java.io.File(outDir).mkdirs()
+    // A failed write must leave NO output dir: in r3 a transient failure
+    // left an empty/stale dir that the driver diffed as a confident 0-row
+    // wrong answer (q_window_lag_lead phantom FAIL). Delete the dir and
+    // record the error in _verify_errors.json so breakage surfaces as
+    // breakage. One retry first — the r3 failure was a one-off flake, and
+    // a clean second pass beats an error row for a healthy query.
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+      f.delete(); ()
+    }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      def attempt(): Unit = fn(session(), sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
+      try {
+        try attempt()
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed (${e.getMessage}); retrying once")
+          attempt()
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
+        errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +79,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // error manifest: the driver (and the judge) see WHY a dump is absent
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }
