@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global rank / ntile without a single-partition Window.
+  *
+  * `Window.orderBy(...)` with no partition moves every row to ONE
+  * partition — the classic scale-killer: at 100 TB that task simply never
+  * finishes. This helper computes the IDENTICAL exact rank the global
+  * window would produce, distributively, the way a distributed sort does:
+  *
+  *   1. range-bucket rows by approx-quantile boundaries of the sort
+  *      metric (boundary quality affects only balance, NEVER correctness:
+  *      equal metric values always land in the same bucket, and bucket id
+  *      is monotone in the metric);
+  *   2. row_number within each bucket (Window PARTITIONED by bucket —
+  *      parallel, spill-safe);
+  *   3. offset each bucket by the total count of all earlier buckets
+  *      (a ≤`buckets`-row aggregate, combined via a broadcast non-equi
+  *      self-join — no window at all);
+  *   4. rank = offset + in-bucket row_number.
+  *
+  * The approx-quantile pass is one extra scan (driver receives ≤31
+  * doubles — same footprint class as a runtime bloom filter). Determinism:
+  * ranks are exact for ANY boundary vector, so even if the sketch shifted
+  * between runs the output would not.
+  */
+object GlobalRank {
+
+  /** Adds `rankCol` = exact 1-based global rank under
+    * (metric ASC, tie ASC). For DESC metrics pass the negated column.
+    * `metric` must be numeric (cast dates to days first).
+    */
+  def withRank(df: DataFrame, metric: Column, tie: Column,
+               rankCol: String, buckets: Int = 32): DataFrame = {
+    val mCol = "__gr_metric"
+    val bCol = "__gr_bucket"
+    val rCol = "__gr_rn"
+    val withM = df.withColumn(mCol, metric.cast("double"))
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    // deterministic Greenwald-Khanna sketch; tiny driver-side result
+    val bounds = withM.stat.approxQuantile(mCol, probes, 0.001)
+      .distinct.sorted
+    val bucketExpr =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col(mCol) > lit(b), 1).otherwise(0))
+        .reduce(_ + _)
+    val bucketed = withM.withColumn(bCol, bucketExpr)
+    val wb = Window.partitionBy(bCol).orderBy(col(mCol), tie)
+    val ranked = bucketed.withColumn(rCol, row_number().over(wb))
+    // per-bucket counts (≤ `buckets` rows) -> cumulative offset of all
+    // strictly-earlier buckets via broadcast non-equi self-join
+    val counts = bucketed.groupBy(col(bCol)).agg(count(lit(1)).as("__gr_n"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")),
+        col(s"b.$bCol") < col(s"a.$bCol"), "left")
+      .groupBy(col(s"a.$bCol").as(bCol))
+      .agg(coalesce(sum(col("b.__gr_n")), lit(0L)).as("__gr_off"))
+    ranked
+      .join(broadcast(offsets), bCol)
+      .withColumn(rankCol, (col("__gr_off") + col(rCol)).cast("long"))
+      .drop(mCol, bCol, rCol, "__gr_off")
+  }
+
+  /** SQL NTILE(k) bucket from an exact 1-based rank and the group size n:
+    * the first (n mod k) buckets take ceil(n/k) rows, the rest floor(n/k)
+    * — bitwise the window function's assignment, computed closed-form.
+    */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val q = floor(n / k).cast("long")          // base bucket size
+    val r = (n % k).cast("long")               // buckets that take q+1
+    val big = (q + 1) * r                      // rows covered by big buckets
+    when(rank <= big, floor((rank - 1) / (q + lit(1))) + 1)
+      .otherwise(r + floor((rank - lit(1) - big) / greatest(q, lit(1L))) + 1)
+      .cast("int")
+  }
+
+  /** Exact global NTILE(k) under (metric ASC, tie ASC) with no
+    * single-partition window: rank via `withRank`, total count via a
+    * broadcast 1-row aggregate, bucket via `ntileFromRank`.
+    */
+  def withNtile(df: DataFrame, metric: Column, tie: Column,
+                outCol: String, k: Int, buckets: Int = 32): DataFrame = {
+    val ranked = withRank(df, metric, tie, "__gr_rank", buckets)
+    val total = ranked.groupBy().agg(count(lit(1)).as("__gr_total"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn(outCol,
+        ntileFromRank(col("__gr_rank"), col("__gr_total"), k))
+      .drop("__gr_rank", "__gr_total")
+  }
+
+  /** Exact NTILE(k) for SEVERAL metrics over one DataFrame in one plan:
+    * boundary sketches for ALL metrics come from a single approxQuantile
+    * pass, the per-metric windows chain over the same base (each is a
+    * bucket-partitioned reshuffle of the row set, never a duplicated
+    * upstream subtree — three separate withNtile calls re-derive the
+    * base per internal reference and the static plan balloons), and the
+    * per-bucket count aggregates are derived from a minimal projection
+    * of the base so exchange reuse collapses them.
+    *
+    * `metrics` maps an EXISTING numeric, ASC-directional column name
+    * (negate beforehand for DESC) to its output ntile column.
+    */
+  def withNtiles(df: DataFrame, metrics: Seq[(String, String)],
+                 tie: Column, k: Int, buckets: Int = 32): DataFrame = {
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val allBounds = df.stat
+      .approxQuantile(metrics.map(_._1).toArray, probes, 0.001)
+    def bucketExpr(m: String, bs: Array[Double]): Column = {
+      val sorted = bs.distinct.sorted
+      if (sorted.isEmpty) lit(0)
+      else sorted.map(b => when(col(m) > lit(b), 1).otherwise(0))
+        .reduce(_ + _)
+    }
+    val total = df.groupBy().agg(count(lit(1)).as("__gr_total"))
+    val ranked = metrics.zip(allBounds).foldLeft(df) {
+      case (acc, ((m, out), bs)) =>
+        val b = s"__gr_b_$out"
+        val be = bucketExpr(m, bs)
+        val wb = Window.partitionBy(col(b)).orderBy(col(m), tie)
+        // counts from the base projection, not the chained acc: the
+        // subtree stays (scan -> project -> agg) for every metric
+        val counts = df.select(col(m))
+          .withColumn(b, be)
+          .groupBy(col(b)).agg(count(lit(1)).as("__gr_n"))
+        val offsets = counts.as("a")
+          .join(broadcast(counts.as("b")),
+            col(s"b.$b") < col(s"a.$b"), "left")
+          .groupBy(col(s"a.$b").as(b))
+          .agg(coalesce(sum(col("b.__gr_n")), lit(0L)).as("__gr_off"))
+        acc.withColumn(b, be)
+          .withColumn("__gr_rn", row_number().over(wb))
+          .join(broadcast(offsets), b)
+          .withColumn(s"__gr_rank_$out",
+            col("__gr_off") + col("__gr_rn"))
+          .drop(b, "__gr_rn", "__gr_off")
+    }
+    metrics.foldLeft(ranked.crossJoin(broadcast(total))) {
+      case (acc, (_, out)) =>
+        acc.withColumn(out,
+            ntileFromRank(col(s"__gr_rank_$out"), col("__gr_total"), k))
+          .drop(s"__gr_rank_$out")
+    }.drop("__gr_total")
+  }
+}

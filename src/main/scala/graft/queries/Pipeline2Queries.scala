@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
+import graft.operators.GlobalRank
 
 /** Group C continued (round 2): the remaining training-data-pipeline
   * operators — benchmark decontamination (inverted-index n-gram overlap),
@@ -101,15 +102,16 @@ object Pipeline2Queries {
     // Length filter at the 95th percentile, rank-selected: keep docs
     // with (rn-1)/(n-1) <= 0.95 under the (n_chars, doc_id) total order
     // — pure integer arithmetic ((rn-1)*20 <= (n-1)*19), no engine-
-    // specific percentile interpolation. The global window is fine at
-    // test scale; at 100 TB the cutoff would come from approx quantiles
-    // on a sample instead of a global sort.
+    // specific percentile interpolation. The rank comes from
+    // GlobalRank.withRank (range-bucketed, window PARTITIONED by
+    // bucket), not a single-partition global window — the exact same
+    // rank values, computable on a 1000-executor cluster; the total
+    // count rides in on a broadcast 1-row aggregate.
     "doc_len_p95" -> ((s, dir) => {
-      val w = Window.orderBy("n_chars", "doc_id")
-      t(s, dir, "documents")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
+      val d = t(s, dir, "documents")
+      val total = d.groupBy().agg(count(lit(1)).as("n"))
+      GlobalRank.withRank(d, col("n_chars"), col("doc_id"), "rn")
+        .crossJoin(broadcast(total))
         .filter((col("rn") - 1) * 20 <= (col("n") - 1) * 19)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")

@@ -334,15 +334,31 @@ object Round3Queries {
     // Daily new users + cumulative distinct users over time — the
     // running-distinct shape (distinct reduced to first-seen day, so the
     // cumulative count is a plain running sum, no stateful distinct).
-    "q_running_distinct" -> ((s, dir) =>
-      t(s, dir, "events")
+    // The running sum is two-level: within-year prefix sums under a
+    // window PARTITIONED by year, plus per-year offsets combined by a
+    // broadcast non-equi self-join over the handful of year rows — no
+    // single-partition window anywhere, though the daily aggregate is
+    // calendar-bounded (~365 rows/year) at any data scale.
+    "q_running_distinct" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
         .groupBy("user_id")
         .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("d"))
         .groupBy("d").agg(count(lit(1)).as("new_users"))
-        .withColumn("cum_users", sum(col("new_users"))
-          .over(Window.orderBy("d")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .orderBy("d")),
+        .withColumn("y", substring(col("d"), 1, 4))
+      val yearly = daily.groupBy("y").agg(sum("new_users").as("yn"))
+      val offsets = yearly.as("a")
+        .join(broadcast(yearly.as("b")), col("b.y") < col("a.y"), "left")
+        .groupBy(col("a.y").as("y"))
+        .agg(coalesce(sum(col("b.yn")), lit(0L)).as("off"))
+      val wy = Window.partitionBy("y").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("run", sum(col("new_users")).over(wy))
+        .join(broadcast(offsets), "y")
+        .withColumn("cum_users", col("off") + col("run"))
+        .select("d", "new_users", "cum_users")
+        .orderBy("d")
+    }),
 
     // Schema-evolution union: by-NAME alignment with a missing column
     // null-filled (allowMissingColumns) — the batch form of ingesting
@@ -417,7 +433,11 @@ object Round3Queries {
         .filter(col("l_orderkey") < 100)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"),
-          try_divide(col("l_quantity"), col("l_linenumber") % 3)
+          // both operands cast to double: Spark's decimal try_divide and
+          // DuckDB's decimal `/` round the quotient under different scale
+          // rules (r3 hash mismatch); IEEE double division is identical
+          try_divide(col("l_quantity").cast("double"),
+              (col("l_linenumber") % 3).cast("double"))
             .as("qty_per_bucket"), // NULL where linenumber % 3 == 0
           try_to_number(col("l_linenumber").cast("string"), lit("9"))
             .as("lnum_parsed"),
@@ -761,7 +781,8 @@ object Round3Queries {
 
     "q_try_funcs" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        |  l_quantity / NULLIF(l_linenumber % 3, 0) AS qty_per_bucket,
+        |  CAST(l_quantity AS DOUBLE) /
+        |    CAST(NULLIF(l_linenumber % 3, 0) AS DOUBLE) AS qty_per_bucket,
         |  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS DECIMAL(1,0))
         |    AS lnum_parsed,
         |  TRY_CAST(l_returnflag AS DECIMAL(1,0)) AS flag_num

@@ -140,32 +140,35 @@ object Round3dQueries {
         .orderBy("doc_id")),
 
     // Two PageRank iterations over the part co-purchase graph (parts
-    // sharing an order, distinct directed edges both ways), in INTEGER
-    // fixed-point (scale 10⁹): contrib = rank div degree, rank' =
-    // 0.15·S + (85·Σcontrib) div 100 — integer sums are exactly
-    // associative, so the result is deterministic under ANY partition/
-    // aggregation order, which no floating-point PageRank can claim.
-    // Per iteration: one shuffle join of ranks onto edges + one
-    // aggregate by destination — the standard scalable shape (edges
-    // pre-joined with out-degrees once).
+    // sharing an order, directed both ways), in INTEGER fixed-point
+    // (scale 10⁹): contrib = rank div degree, rank' = 0.15·S +
+    // (85·Σcontrib) div 100 — integer sums are exactly associative, so
+    // the result is deterministic under ANY partition/aggregation
+    // order, which no floating-point PageRank can claim.
+    // The multigraph is pre-aggregated to WEIGHTED edges once
+    // (groupBy(src,dst).count): each iteration then joins ranks onto
+    // the deduped edge set and multiplies the contribution by the edge
+    // weight — identical integer math (w copies of `r div deg` sum to
+    // w·(r div deg)), but the per-iteration join and shuffle move the
+    // distinct-pair set instead of every raw co-occurrence, and the
+    // identical weighted-edge exchange is built once and reused by both
+    // iterations. Degree = Σw, the multigraph out-degree.
     "graph_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      // weighted multigraph: each co-occurrence is an edge (no distinct
-      // pass — the weights make repeat co-purchases count more, and
-      // integer math stays exact either way)
-      val edges = li.as("x").join(li.as("y"),
+      val edgesW = li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") =!= col("y.pk"))
-        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-      val edgesD = edges
-        .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .groupBy(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edgesD = edgesW
+        .join(edgesW.groupBy("src").agg(sum(col("w")).as("deg")), "src")
       // uniform seed over the part dimension (no extra edge pass;
       // parts that never co-occur contribute nothing downstream)
       val ranks0 = t(s, dir, "part").select(col("p_partkey").as("node"))
         .withColumn("r", lit(1000000000L))
       def step(ranks: DataFrame): DataFrame =
         edgesD.join(ranks, col("src") === col("node"))
-          .select(col("dst"), expr("r div deg").as("contrib"))
+          .select(col("dst"), (col("w") * expr("r div deg")).as("contrib"))
           .groupBy("dst")
           .agg(expr("150000000 + (85 * sum(contrib)) div 100").as("r"))
           .select(col("dst").as("node"), col("r"))

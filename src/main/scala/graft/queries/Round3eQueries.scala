@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.VectorFunctions.dotD
+import graft.operators.GlobalRank
 
 /** Round-3 fifth batch: passage-level intra-corpus dedup (the
   * RefinedWeb-style complement of document-level dedup — duplicated
@@ -89,14 +90,27 @@ object Round3eQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("vec_id", "centroid_id", "embedding")
+      // Fixed-block tree reduction for the deterministic FP sum: fold
+      // members in vec_id order WITHIN 1024-row blocks, then fold the
+      // block sums in block order. Each aggregation buffer is bounded
+      // (≤1024 members / ≤n/1024 block sums) instead of the r3 version's
+      // collect_list of EVERY member per (cluster, dim); the oracle
+      // mirrors the identical two-level association. At extreme cluster
+      // sizes the same block trick recurses (blk div 1024) — one more
+      // level covers 10^9 members per cluster.
       assigned
         .select(col("centroid_id"), col("vec_id"),
           posexplode(col("embedding")).as(Seq("dim", "comp")))
-        .groupBy("centroid_id", "dim")
-        .agg(count(lit(1)).as("n"),
+        .withColumn("blk", expr("vec_id div 1024"))
+        .groupBy("centroid_id", "dim", "blk")
+        .agg(count(lit(1)).as("bn"),
           expr("aggregate(array_sort(collect_list(struct(vec_id, comp))), " +
             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x.comp AS DOUBLE))")
-            .as("s"))
+            .as("bs"))
+        .groupBy("centroid_id", "dim")
+        .agg(sum(col("bn")).as("n"),
+          expr("aggregate(array_sort(collect_list(struct(blk, bs))), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.bs)").as("s"))
         .select(col("centroid_id"), col("dim"), col("n"),
           (col("s") / col("n")).as("mean_v"))
         .orderBy("centroid_id", "dim")
@@ -105,10 +119,15 @@ object Round3eQueries {
     // RFM segmentation: per-customer recency (days since last order),
     // frequency (order count), monetary (exact decimal revenue),
     // quartile-scored and routed to a segment — the composite
-    // aggregate->window->CASE shape of a marketing mart. The ntile
-    // windows sort the CUSTOMER aggregate (already reduced ~1000x
-    // from the fact table); every ordering carries the custkey
-    // tie-break so bucket boundaries are deterministic.
+    // aggregate->window->CASE shape of a marketing mart. The r3 form
+    // used three unpartitioned ntile windows (single-partition sorts of
+    // the whole customer aggregate); the scores now come from
+    // GlobalRank.withNtile — exact-rank range-bucketing that reproduces
+    // NTILE(4) bit-for-bit with every window PARTITIONED by bucket.
+    // Each score is computed on a 2-column projection and joined back
+    // on custkey (co-partitioned equi-joins); descending orders pass
+    // the negated metric, and every ordering carries the custkey
+    // tie-break so bucket boundaries stay deterministic.
     "q_rfm_segments" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val per = o.groupBy("o_custkey").agg(
@@ -116,14 +135,16 @@ object Round3eQueries {
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast(dec)).cast("double").as("monetary"))
       val maxd = o.select(max(col("o_orderdate").cast("date")).as("max_d"))
-      val wr = Window.orderBy(col("recency_days"), col("o_custkey"))
-      val wf = Window.orderBy(col("freq").desc, col("o_custkey"))
-      val wm = Window.orderBy(col("monetary").desc, col("o_custkey"))
-      per.crossJoin(broadcast(maxd))
+      val base = per.crossJoin(broadcast(maxd))
         .withColumn("recency_days", datediff(col("max_d"), col("last_d")))
-        .withColumn("r_score", ntile(4).over(wr))
-        .withColumn("f_score", ntile(4).over(wf))
-        .withColumn("m_score", ntile(4).over(wm))
+        .withColumn("__m_r", col("recency_days").cast("double"))
+        .withColumn("__m_f", -col("freq").cast("double"))
+        .withColumn("__m_m", -col("monetary"))
+      GlobalRank.withNtiles(base,
+          Seq("__m_r" -> "r_score", "__m_f" -> "f_score",
+            "__m_m" -> "m_score"),
+          col("o_custkey"), 4)
+        .drop("__m_r", "__m_f", "__m_m")
         .withColumn("segment",
           when(col("r_score") === 1 && col("f_score") === 1 &&
             col("m_score") === 1, "champion")
@@ -202,15 +223,22 @@ object Round3eQueries {
          |    unnest(embedding) AS comp
          |  FROM a
          |), g AS (
-         |  SELECT centroid_id, dim, CAST(count(*) AS BIGINT) AS n,
+         |  SELECT centroid_id, dim, vec_id // 1024 AS blk,
+         |    CAST(count(*) AS BIGINT) AS bn,
          |    list_reduce(
          |      list_prepend(CAST(0.0 AS DOUBLE),
          |        list(CAST(comp AS DOUBLE) ORDER BY vec_id)),
+         |      (acc, x) -> acc + x) AS bs
+         |  FROM comps GROUP BY centroid_id, dim, blk
+         |), g2 AS (
+         |  SELECT centroid_id, dim, CAST(sum(bn) AS BIGINT) AS n,
+         |    list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE), list(bs ORDER BY blk)),
          |      (acc, x) -> acc + x) AS s
-         |  FROM comps GROUP BY centroid_id, dim
+         |  FROM g GROUP BY centroid_id, dim
          |)
          |SELECT centroid_id, dim, n, s / n AS mean_v
-         |FROM g ORDER BY centroid_id, dim""".stripMargin,
+         |FROM g2 ORDER BY centroid_id, dim""".stripMargin,
 
     "q_rfm_segments" ->
       """WITH per AS (
