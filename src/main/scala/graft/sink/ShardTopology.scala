@@ -27,6 +27,104 @@ object ShardTopology {
     "SELECT shard_num, host_address, port FROM system.clusters " +
       "WHERE cluster = ? and replica_num = 1"
 
+  /** The reference's HTTP-port error pattern: a ClickHouse TCP port
+    * answers HTTP probes with this message naming the real HTTP port
+    * (ClickHouseConnectionProvider.java:31).
+    */
+  private val HttpPortPattern =
+    "You must use port ([0-9]+) for HTTP\\.".r.unanchored
+
+  /** One discovery row from system.clusters. */
+  final case class ClusterRow(shardNum: Int, hostAddress: String, port: Int)
+
+  /** Minimal HTTP probe result — status line code + body text. */
+  final case class ProbeResult(status: Int, body: String)
+
+  /** Runs DiscoveryQuery with `cluster` bound to its positional
+    * parameter and maps `(shard_num, host_address, port)` rows to
+    * ShardNodes, probing each node's advertised port
+    * (ClickHouseConnectionProvider.java:95-116). Seams:
+    *
+    *   - `runQuery(sql, clusterName)` executes the parameterized SQL —
+    *     live: a JDBC prepared statement on the coordinator; tests: a
+    *     canned row list.
+    *   - `probe(host, port)` issues the HTTP GET of
+    *     getActualHttpPort (ClickHouseConnectionProvider.java:118-135):
+    *     a 200 keeps the advertised port, otherwise the body is matched
+    *     for "You must use port N for HTTP." and N wins; anything else
+    *     is an error, as is an empty discovery result.
+    */
+  def discover(clusterName: String,
+               runQuery: (String, String) => Seq[ClusterRow],
+               probe: (String, Int) => ProbeResult): Seq[ShardNode] = {
+    val rows = runQuery(DiscoveryQuery, clusterName)
+    if (rows.isEmpty)
+      throw new IllegalStateException(
+        "unable to query shards in system.clusters")
+    rows.map { r =>
+      ShardNode(r.shardNum, r.hostAddress,
+        actualHttpPort(r.hostAddress, r.port, probe))
+    }
+  }
+
+  /** The reference's port fix-up: advertised port if it already speaks
+    * HTTP, else the port named in the error body.
+    */
+  def actualHttpPort(host: String, port: Int,
+                     probe: (String, Int) => ProbeResult): Int = {
+    val res = probe(host, port)
+    if (res.status == 200) port
+    else res.body match {
+      case HttpPortPattern(p) => p.toInt
+      case _ => throw new IllegalStateException(
+        s"Cannot query ClickHouse http port $host:$port")
+    }
+  }
+
+  /** Live probe over java.net.HttpURLConnection (no extra deps): GET
+    * http://host:port/ and surface (status, body) for actualHttpPort.
+    */
+  def httpProbe(host: String, port: Int): ProbeResult = {
+    val url = java.net.URI.create(s"http://$host:$port/").toURL
+    val conn = url.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(5000)
+    try {
+      val status = conn.getResponseCode
+      val stream =
+        if (status == 200) conn.getInputStream else conn.getErrorStream
+      val body =
+        if (stream == null) ""
+        else try new String(stream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally stream.close()
+      ProbeResult(status, body)
+    } finally conn.disconnect()
+  }
+
+  /** Live query runner: prepared statement against the coordinator via
+    * plain JDBC (the same DriverManager path JdbcStatementExecutor
+    * uses), parameter bound positionally like the reference's
+    * stmt.setString(1, clusterName).
+    */
+  def jdbcQueryRunner(coordinatorUrl: String)(
+      sql: String, clusterName: String): Seq[ClusterRow] = {
+    val conn = java.sql.DriverManager.getConnection(coordinatorUrl)
+    try {
+      val stmt = conn.prepareStatement(sql)
+      try {
+        stmt.setString(1, clusterName)
+        val rs = stmt.executeQuery()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[ClusterRow]
+        while (rs.next())
+          buf += ClusterRow(rs.getInt("shard_num"),
+            rs.getString("host_address"), rs.getInt("port"))
+        buf.toSeq
+      } finally stmt.close()
+    } finally conn.close()
+  }
+
   /** Parse an explicit `sink.write-local-nodes` list: comma-separated
     * host:port entries, shard numbers assigned by position (1-based,
     * matching system.clusters.shard_num).
@@ -42,11 +140,22 @@ object ShardTopology {
         }
     }.toSeq
 
-  /** Topology for a write: explicit nodes if configured, else empty (a
-    * live deployment would run DiscoveryQuery here).
+  /** Topology for a write: explicit nodes win (getLocalNodes precedence,
+    * ClickHouseConnectionProvider.java:85-93); otherwise run discovery
+    * through the injected seams. The default seams are the live JDBC
+    * runner + HTTP probe; `resolve(options)` with no seams keeps the
+    * offline behavior (no cluster to query → empty topology).
     */
-  def resolve(options: GraftSinkOptions): Seq[ShardNode] =
-    options.writeLocalNodes.map(parse).getOrElse(Seq.empty)
+  def resolve(options: GraftSinkOptions,
+              runQuery: Option[(String, String) => Seq[ClusterRow]] = None,
+              probe: (String, Int) => ProbeResult = httpProbe)
+      : Seq[ShardNode] =
+    options.writeLocalNodes.map(parse).getOrElse {
+      runQuery match {
+        case Some(rq) => discover(options.clusterName, rq, probe)
+        case None => Seq.empty
+      }
+    }
 
   /** The JDBC URL a given shard partition writes to: its local node in
     * write-local mode with a configured topology, the coordinator URL
