@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -282,9 +282,15 @@ case class MinhashSignature(child: Expression, numHashes: Int = 8)
   * sortedness requirement is invisible to the oracle). Inputs MUST be
   * sorted ascending and duplicate-free; both producers in this codebase
   * (ShingleArray) guarantee it.
+  *
+  * Unlike the per-document expressions above, this one runs PER CANDIDATE
+  * PAIR inside join stages (containment/jaccard/LSH-confirm), so
+  * CodegenFallback would both pay boxed eval dispatch per pair and split
+  * the surrounding WholeStageCodegen span; doGenCode keeps the join
+  * stage fused and emits the identical two-pointer merge inline.
   */
 case class ArrayIntersectSize(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
 
@@ -314,6 +320,30 @@ case class ArrayIntersectSize(left: Expression, right: Expression)
     }
     count
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0;
+         |int $j = 0;
+         |int $cnt = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -233,38 +233,54 @@ object Pipeline2Queries {
           edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // min-label propagation to the fixed point
-      var labels = t(s, dir, "documents")
+      var cached = t(s, dir, "documents")
         .select(col("doc_id"), col("doc_id").as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = cached
       var converged = false
+      var iter = 0
       while (!converged) {
         val viaNeighbors = bidir
           .join(labels, bidir("b_id") === labels("doc_id"))
           .groupBy(col("a_id").as("doc_id"))
           .agg(min(col("lbl")).as("nlbl"))
-        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+        val m1 = labels.join(viaNeighbors, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lbl").as("old"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        // pointer jump (path halving): also adopt the label OF the
+        // label — every label is itself a doc_id, so one extra self-join
+        // halves pointer chains and convergence drops from O(diameter)
+        // supersteps to O(log diameter). Labels only ever decrease and
+        // are bounded by the component minimum, so the fixed point — and
+        // the oracle — are unchanged.
+        val p = m1.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
+        // the old label rides along so the convergence check is a
+        // filter-count over THIS persisted result — not a second
+        // shuffle join of next against labels per iteration
+        val next = m1.join(p, m1("lbl") === p("p_id"), "left")
+          .select(col("doc_id"), col("old"),
+            least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val changed = next.join(labels.withColumnRenamed("lbl", "old"),
-          "doc_id").filter(col("lbl") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
+        val changed = next.filter(col("lbl") =!= col("old")).count()
+        cached = next
+        labels = next.select("doc_id", "lbl")
+        iter += 1
+        System.err.println(s"[dedup_cc_labels] superstep $iter: $changed moved")
         converged = changed == 0
       }
-      // materialize the fixed point once (lineage truncated), then
-      // release every cached intermediate — Bench forces each query
-      // twice per run and leaked MEMORY_AND_DISK blocks would otherwise
-      // accumulate across the whole bench session
-      val result = labels.withColumn("is_dup",
+      // The final read serves straight from the persisted fixed point.
+      // No explicit unpersist / localCheckpoint here: issuing block-
+      // removal RPCs while AQE is still materializing stages reproduced
+      // the r3 stall signature (everything idle, the ContextCleaner
+      // parked in removeBroadcast, AQE's event queue never served —
+      // 60-160 s holes on a 2-superstep run). The caches are a few MB;
+      // once the returned plan is unreferenced the GC-driven
+      // ContextCleaner reclaims them asynchronously — the same lifecycle
+      // every other cached intermediate in the suite relies on.
+      labels.withColumn("is_dup",
           (col("doc_id") =!= col("lbl")).cast("int"))
         .select(col("doc_id"), col("lbl").as("cluster_id"), col("is_dup"))
         .orderBy("doc_id")
-        .localCheckpoint(true)
-      labels.unpersist()
-      bidir.unpersist()
-      edges.unpersist()
-      result
     }),
 
     // MinHash accuracy audit: estimated Jaccard (signature agreement /

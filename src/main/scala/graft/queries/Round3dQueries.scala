@@ -160,8 +160,13 @@ object Round3dQueries {
           col("x.ok") === col("y.ok") && col("x.pk") =!= col("y.pk"))
         .groupBy(col("x.pk").as("src"), col("y.pk").as("dst"))
         .agg(count(lit(1)).as("w"))
+      // the edge structure is REUSED by every iteration (and iterative
+      // graph algorithms at any scale cache it): persist so the
+      // lineitem self-join + degree aggregation runs once, not once per
+      // step — both step() subtrees then read the materialized edges
       val edgesD = edgesW
         .join(edgesW.groupBy("src").agg(sum(col("w")).as("deg")), "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // uniform seed over the part dimension (no extra edge pass;
       // parts that never co-occur contribute nothing downstream)
       val ranks0 = t(s, dir, "part").select(col("p_partkey").as("node"))
