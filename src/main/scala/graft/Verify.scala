@@ -17,6 +17,13 @@ object Verify {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
+        // AQE off by default, like Bench (see the rationale there): the
+        // local-mode lost-wakeup in AQE's final-plan event loop showed
+        // up as r3's transient Verify failure and adds 30-150s idle
+        // holes. Results are identical either way — AQE never changes
+        // values — and SPARK_GRAFT_AQE=true restores it.
+        .config("spark.sql.adaptive.enabled",
+          sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
