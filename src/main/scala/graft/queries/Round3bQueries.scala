@@ -216,10 +216,15 @@ object Round3bQueries {
     // anywhere. At 100 TB each training iteration is one combine
     // shuffle of (pair, count) rows plus a broadcast.
     "bpe_merge_step" -> ((s, dir) => {
+      // the exploded word table feeds BOTH the pair-count aggregate and
+      // the merge application — persist so the split/explode runs once
+      // per pass (a real BPE trainer caches its word corpus across all
+      // merge iterations for the same reason)
       val words = PipelineQueries.spread(s, t(s, dir, "documents"))
         .select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = words.select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
         .as("pair"))
