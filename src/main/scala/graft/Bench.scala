@@ -103,17 +103,23 @@ object Bench {
       val t = new Thread(r, "bench-worker"); t.setDaemon(true); t
     }
 
-    // one timed pass; returns (wallSeconds, succeeded)
-    def force(name: String): (Double, Boolean) = {
+    // one timed pass; returns (wallSeconds, succeeded, wedged). wedged =
+    // the pass timed out AND the post-cancel wait expired too: the worker
+    // thread was abandoned mid-action and may still be running jobs.
+    case class Pass(t: Double, ok: Boolean, wedged: Boolean)
+    def force(name: String, passIdx: Int = 0): Pass = {
       val s = session()
+      // unique group per pass: a late cancel (or leftover jobs) from an
+      // abandoned earlier pass of the same query must not be able to
+      // cancel or pollute this one (ADVICE r4)
+      val group = s"bench-$name-$passIdx"
       val t0 = System.nanoTime()
       val gc0 = gcMillis
       def elapsed: Double = (System.nanoTime() - t0) / 1e9
       val task = new FutureTask[Unit](() => {
         // job group set on the worker thread so cancelJobGroup targets
         // exactly this action's jobs
-        s.sparkContext.setJobGroup(s"bench-$name", name,
-          interruptOnCancel = true)
+        s.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
         try SparkEntry.queries(name)(s, sfDir)
           .write.format("noop").mode("overwrite").save()
         finally s.sparkContext.clearJobGroup()
@@ -122,6 +128,7 @@ object Bench {
       var ok = false
       var done = false
       var dumped = false
+      var wedged = false
       while (!done) {
         try { task.get(30, TimeUnit.SECONDS); ok = true; done = true }
         catch {
@@ -134,10 +141,10 @@ object Bench {
             if (elapsed > timeoutSec) {
               System.err.println(
                 f"[bench] $name TIMED OUT at $elapsed%.0f s — cancelling job group")
-              s.sparkContext.cancelJobGroup(s"bench-$name")
+              s.sparkContext.cancelJobGroup(group)
               // give cancellation a bounded window to unwind the action
               try task.get(60, TimeUnit.SECONDS)
-              catch { case _: Throwable => () }
+              catch { case _: Throwable => wedged = true }
               done = true
             }
           case e: Throwable =>
@@ -149,8 +156,8 @@ object Bench {
       val t = elapsed
       System.err.println(f"[bench] $name%-30s ${t}%8.2f s" +
         f"  gc +${(gcMillis - gc0) / 1000.0}%5.1f s" +
-        (if (ok) "" else "  FAILED"))
-      (t, ok)
+        (if (ok) "" else if (wedged) "  FAILED (wedged)" else "  FAILED"))
+      Pass(t, ok, wedged)
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -163,7 +170,7 @@ object Bench {
     // Respects `only` so a single-query dev bisection stays single-query.
     Seq("q_hash_agg", "dedup_exact", "similarity_topk", "dedup_containment")
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
-      .foreach(force)
+      .foreach(n => force(n, passIdx = 9)) // distinct group vs sweep passes
 
     // min of the SUCCESSFUL passes of two: JIT warm-up and GC pauses
     // inflate single local-mode measurements by up to 3x run-to-run; the
@@ -173,10 +180,24 @@ object Bench {
     val Penalty = 600.0
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = names.map { n =>
-      val passes = Seq(force(n), force(n))
-      val good = passes.collect { case (t, true) => t }
+      // skip the second pass when the first wedged past cancellation: the
+      // abandoned worker may still hold executor threads, so a back-to-back
+      // re-run of the same query would time against a poisoned JVM and
+      // double the wall loss for zero extra signal (ADVICE r4)
+      val p1 = force(n, 0)
+      val passes = if (p1.wedged) Seq(p1) else Seq(p1, force(n, 1))
+      val good = passes.collect { case Pass(t, true, _) => t }
       val t = if (good.nonEmpty) good.min
               else { failed += n; Penalty }
+      // drop any blocks a query-builder persisted (e.g. bpe_merge_step's
+      // word corpus, cc_labels supersteps): a cache that outlives its
+      // query pins heap for the remaining ~160 queries of the sweep —
+      // the r4 bench showed 5 queries 6-40x slower downstream of the
+      // first leaked persist. Cleared AFTER both passes so pass 2 still
+      // reuses pass 1's cache via CacheManager plan-matching.
+      try session().catalog.clearCache()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] clearCache after $n failed: ${e.getMessage}") }
       n -> t
     }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -69,6 +69,12 @@ object Verify {
         deleteRecursively(new java.io.File(s"$outDir/$name"))
         errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
+      // drop any blocks the query-builder persisted (bpe_merge_step word
+      // corpus, cc_labels supersteps): a leaked cache pins heap for the
+      // remaining ~160 dumps of the sweep (see Bench for the r4 evidence)
+      try session().catalog.clearCache()
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] clearCache after $name failed: ${e.getMessage}") }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -67,13 +67,18 @@ object GlobalRank {
   /** SQL NTILE(k) bucket from an exact 1-based rank and the group size n:
     * the first (n mod k) buckets take ceil(n/k) rows, the rest floor(n/k)
     * — bitwise the window function's assignment, computed closed-form.
+    * All divisions are integral (IntegralDivide, SQL `div`): a double
+    * round-trip is exact only below 2^53, and this operator's whole
+    * point is staying exact at any row count. Operands are non-negative
+    * so truncating div == floor.
     */
   def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
-    val q = floor(n / k).cast("long")          // base bucket size
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val q = idiv(n, lit(k.toLong))             // base bucket size
     val r = (n % k).cast("long")               // buckets that take q+1
     val big = (q + 1) * r                      // rows covered by big buckets
-    when(rank <= big, floor((rank - 1) / (q + lit(1))) + 1)
-      .otherwise(r + floor((rank - lit(1) - big) / greatest(q, lit(1L))) + 1)
+    when(rank <= big, idiv(rank - 1, q + lit(1L)) + 1)
+      .otherwise(r + idiv(rank - lit(1L) - big, greatest(q, lit(1L))) + 1)
       .cast("int")
   }
 

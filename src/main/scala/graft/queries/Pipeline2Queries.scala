@@ -232,11 +232,15 @@ object Pipeline2Queries {
       val bidir = edges.union(
           edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // min-label propagation to the fixed point
-      var cached = t(s, dir, "documents")
+      // min-label propagation to the fixed point. Leaked MEMORY_AND_DISK
+      // blocks are bounded by the superstep count (one persisted `next`
+      // per iteration, O(log diameter) iterations thanks to the pointer
+      // jump below) plus edges/bidir; the sweep harnesses clearCache()
+      // between queries, and mid-query unpersist reproduced the r3
+      // ContextCleaner stall (see the note at the end of this query).
+      var labels = t(s, dir, "documents")
         .select(col("doc_id"), col("doc_id").as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      var labels = cached
       var converged = false
       var iter = 0
       while (!converged) {
@@ -262,7 +266,6 @@ object Pipeline2Queries {
             least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val changed = next.filter(col("lbl") =!= col("old")).count()
-        cached = next
         labels = next.select("doc_id", "lbl")
         iter += 1
         System.err.println(s"[dedup_cc_labels] superstep $iter: $changed moved")

@@ -321,24 +321,45 @@ object PipelineQueries {
         .orderBy("doc_id")),
 
     // n-gram Jaccard near-dup pairs, blocked by (lang, source) so the
-    // pair count stays ~(block size)^2 * #blocks, not n^2.
+    // pair count stays ~(block size)^2 * #blocks, not n^2. (lang, source)
+    // is low-cardinality, so at 100x one block (en/web) would dominate
+    // the corpus and its pairs would land in ONE task — tile salting
+    // fixes that: each doc gets a bucket in [0, B); the pair with
+    // buckets (x, y) is computed exactly once, in tile
+    // (min(x,y), max(x,y)); each row is replicated to the ~B/2 tiles
+    // it can appear in. Same pair set (the oracle is unchanged), but
+    // the quadratic work is spread over ~B^2/2 tasks per block instead
+    // of one, and the cap scales by raising B with corpus size.
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      val B = 8
       // merge hint: broadcasting the shingled side would build it
-      // single-threaded on the driver; SMJ keeps both sides parallel and
-      // dedupes the identical subplans into one shuffle.
+      // single-threaded on the driver; SMJ keeps both sides parallel.
       val docs = spread(s, t(s, dir, "documents"))
         .withColumn("sh", call_function("graft_shingles", col("text")))
-        .select("doc_id", "lang", "source", "sh")
-        .hint("merge")
-      docs.as("a").join(docs.as("b"),
+        .withColumn("bk", pmod(xxhash64(col("doc_id")), lit(B)).cast("int"))
+        .select("doc_id", "lang", "source", "sh", "bk")
+      // tile (tp, tq), tp <= tq: the left side owns row-bucket tp and
+      // fans out over tq >= bk; the right side owns tq, fanning tp <= bk.
+      // A pair with buckets x < y matches only as (left=x, right=y);
+      // x = y lands on the diagonal tile where doc_id < doc_id dedups.
+      val a = docs.select(col("*"), col("bk").as("tp"),
+        explode(sequence(col("bk"), lit(B - 1))).as("tq")).hint("merge")
+      val b = docs.select(col("*"), col("bk").as("tq"),
+        explode(sequence(lit(0), col("bk"))).as("tp")).hint("merge")
+      a.as("a").join(b.as("b"),
           col("a.lang") === col("b.lang") &&
           col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.tp") === col("b.tp") && col("a.tq") === col("b.tq") &&
+          (col("a.bk") < col("b.bk") ||
+            (col("a.bk") === col("b.bk") &&
+              col("a.doc_id") < col("b.doc_id"))))
         .withColumn("inter", interSize(col("a.sh"), col("b.sh")))
         .withColumn("jacc", col("inter") /
           (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
         .transform(fencedFilter(_, col("jacc") >= 0.02))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        // off-diagonal tiles pair by bucket, not doc order: canonicalize
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
           col("jacc"))
         .orderBy("a_id", "b_id")
     }),

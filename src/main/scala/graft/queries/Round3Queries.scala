@@ -378,23 +378,30 @@ object Round3Queries {
 
     // KMV (k-minimum-values) distinct-count sketch, k=64: unlike HLL,
     // fully deterministic — the estimate is (k-1)*2^32 / (k-th smallest
-    // 32-bit hash), so the oracle can check it bitwise. The mergeable
-    // at-scale form: each partition keeps its k smallest hashes, the
-    // union's k smallest give the global estimate; here the per-group
-    // k-th min falls out of one row_number window over distinct hashes.
+    // 32-bit hash), so the oracle can check it bitwise (the oracle IS
+    // the window form, proving equivalence). The mergeable at-scale
+    // form, and the plan here: distinct hashes (1 combine shuffle),
+    // then a bounded 64-entry TopKAggregator buffer per group — partial
+    // aggregation caps the second shuffle at 64 rows/group/partition.
+    // The r4 window form (row_number over a 3-value partition key) was
+    // a scale-killer: it sorted ALL distinct hashes in 3 single tasks.
+    // score = -u keeps the SMALLEST hashes; exact in double since
+    // u < 2^32 << 2^53, and ids (the distinct hashes) are unique per
+    // group so the aggregator's order is total -> deterministic.
     "q_kmv_distinct" -> ((s, dir) => {
       val u = conv(substring(md5(col("l_partkey").cast("string")), 1, 8),
         16, 10).cast("long")
-      val byFlag = Window.partitionBy("l_returnflag")
+      val bottom64 = udaf(new graft.functions.TopKAggregator(64))
+      val kth = element_at(col("mins"), 64).getField("id")
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), u.as("u")).distinct()
-        .withColumn("rn", row_number().over(byFlag.orderBy("u")))
-        .withColumn("n_distinct", count(lit(1)).over(byFlag))
-        .filter(col("rn") === 64)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_distinct"),
+          bottom64(-col("u").cast("double"), col("u")).as("mins"))
+        .filter(size(col("mins")) === 64) // <64 distinct: no k-th min
         .select(col("l_returnflag"), col("n_distinct"),
-          col("u").as("kth_min"),
-          (lit((63L * 4294967296L).toDouble) / col("u"))
-            .as("est_distinct"))
+          kth.as("kth_min"),
+          (lit((63L * 4294967296L).toDouble) / kth).as("est_distinct"))
         .orderBy("l_returnflag")
     }),
 
@@ -428,6 +435,14 @@ object Round3Queries {
     // instead of runtime errors — the functions a pipeline needs with
     // ANSI mode on (Spark 4 default). Divisors derive from integers
     // only: a double->int cast truncates in Spark but rounds in DuckDB.
+    // The try_to_number results are cast to BIGINT before comparison:
+    // r3/r4 hash mismatches came from these being the ONLY DECIMAL
+    // output columns in the whole suite (all cell values were bitwise
+    // identical to the oracle — the driver's hash normalizes decimal
+    // columns differently between the DuckDB result and the parquet
+    // dump). BIGINT is the kind every other green query uses. flag_num
+    // also mixes parsed digits with letter->NULL rows so no output
+    // column is all-NULL.
     "q_try_funcs" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") < 100)
@@ -440,8 +455,12 @@ object Round3Queries {
               (col("l_linenumber") % 3).cast("double"))
             .as("qty_per_bucket"), // NULL where linenumber % 3 == 0
           try_to_number(col("l_linenumber").cast("string"), lit("9"))
-            .as("lnum_parsed"),
-          try_to_number(col("l_returnflag"), lit("9")).as("flag_num"))
+            .cast("long").as("lnum_parsed"),
+          try_to_number(
+              when(col("l_linenumber") % 2 === 0, col("l_returnflag"))
+                .otherwise(col("l_linenumber").cast("string")),
+              lit("9"))
+            .cast("long").as("flag_num")) // letters -> NULL, digits parse
         .orderBy("l_orderkey", "l_linenumber", "l_quantity",
           "qty_per_bucket")),
 
@@ -783,9 +802,11 @@ object Round3Queries {
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  CAST(l_quantity AS DOUBLE) /
         |    CAST(NULLIF(l_linenumber % 3, 0) AS DOUBLE) AS qty_per_bucket,
-        |  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS DECIMAL(1,0))
-        |    AS lnum_parsed,
-        |  TRY_CAST(l_returnflag AS DECIMAL(1,0)) AS flag_num
+        |  CAST(TRY_CAST(CAST(l_linenumber AS VARCHAR) AS DECIMAL(1,0))
+        |    AS BIGINT) AS lnum_parsed,
+        |  CAST(TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN l_returnflag
+        |    ELSE CAST(l_linenumber AS VARCHAR) END AS DECIMAL(1,0))
+        |    AS BIGINT) AS flag_num
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber, l_quantity,
         |  qty_per_bucket NULLS FIRST""".stripMargin,

@@ -83,25 +83,63 @@ object ShardTopology {
 
   /** Live probe over java.net.HttpURLConnection (no extra deps): GET
     * http://host:port/ and surface (status, body) for actualHttpPort.
+    * Transport failures (connect refused/timeout) are rethrown as
+    * IllegalStateException so every discovery failure mode surfaces
+    * uniformly, matching the reference's wrapped 'Cannot connect to
+    * ClickHouse server using HTTP' error
+    * (ClickHouseConnectionProvider.java:118-135) — callers catch ONE
+    * exception type for the whole discovery path.
     */
   def httpProbe(host: String, port: Int): ProbeResult = {
     val url = java.net.URI.create(s"http://$host:$port/").toURL
-    val conn = url.openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    conn.setConnectTimeout(5000)
-    conn.setReadTimeout(5000)
     try {
-      val status = conn.getResponseCode
-      val stream =
-        if (status == 200) conn.getInputStream else conn.getErrorStream
-      val body =
-        if (stream == null) ""
-        else try new String(stream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally stream.close()
-      ProbeResult(status, body)
-    } finally conn.disconnect()
+      val conn = url.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(5000)
+      try {
+        val status = conn.getResponseCode
+        val stream =
+          if (status == 200) conn.getInputStream else conn.getErrorStream
+        val body =
+          if (stream == null) ""
+          else try new String(stream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally stream.close()
+        ProbeResult(status, body)
+      } finally conn.disconnect()
+    } catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"Cannot connect to ClickHouse server using HTTP on $host:$port", e)
+    }
   }
+
+  /** Process-level cache of live discovery results keyed by
+    * (coordinator URL, cluster name): on the driver the topology is
+    * resolved once at plan time; a writer task that resolves again on
+    * an executor pays one system.clusters query per JVM, not per task.
+    */
+  private val discovered = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[ShardNode]]()
+
+  /** Production resolution — the reference's getLocalNodes fallback
+    * (ClickHouseConnectionProvider.java:85-93): an explicit
+    * `sink.write-local-nodes` list wins; otherwise write-local mode
+    * queries the coordinator's system.clusters LIVE through the JDBC
+    * runner + HTTP probe (cached per JVM). Without write-local there is
+    * no topology to discover. A discovery failure propagates as
+    * IllegalStateException rather than silently degrading to
+    * coordinator-only writes.
+    */
+  def resolveLive(options: GraftSinkOptions): Seq[ShardNode] =
+    options.writeLocalNodes.map(parse).getOrElse {
+      if (!options.writeLocal) Seq.empty
+      else discovered.computeIfAbsent(
+        (options.url, options.clusterName),
+        { case (url, cluster) =>
+          discover(cluster, jdbcQueryRunner(url), httpProbe) })
+    }
 
   /** Live query runner: prepared statement against the coordinator via
     * plain JDBC (the same DriverManager path JdbcStatementExecutor
@@ -163,7 +201,7 @@ object ShardTopology {
     * ClickHouseShardOutputFormat.java:60-70).
     */
   def urlForShard(options: GraftSinkOptions, shard: Int): String = {
-    val nodes = if (options.writeLocal) resolve(options) else Seq.empty
+    val nodes = if (options.writeLocal) resolveLive(options) else Seq.empty
     if (nodes.isEmpty) options.url
     else nodes(((shard % nodes.size) + nodes.size) % nodes.size)
       .jdbcUrl(options.databaseName)

@@ -150,7 +150,7 @@ class GraftWrite(options: GraftSinkOptions, pk: Seq[String],
   override def requiredNumPartitions(): Int =
     if (options.writeLocal &&
         options.partitionStrategy == graft.sink.PartitionStrategy.Hash)
-      math.max(graft.sink.ShardTopology.resolve(options).size, 0)
+      math.max(graft.sink.ShardTopology.resolveLive(options).size, 0)
     else 0 // 0 = no constraint
 
   override def requiredOrdering(): Array[SortOrder] = Array.empty
@@ -257,7 +257,7 @@ object GraftBatchWrite {
         Seq(graft.sink.ShardTopology.urlForShard(options, 0))
       else {
         val shards =
-          if (options.writeLocal) graft.sink.ShardTopology.resolve(options)
+          if (options.writeLocal) graft.sink.ShardTopology.resolveLive(options)
           else Seq.empty
         if (shards.nonEmpty) shards.map(_.jdbcUrl(options.databaseName))
         else Seq(graft.sink.ShardTopology.urlForShard(options, 0))

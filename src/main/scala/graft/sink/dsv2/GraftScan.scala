@@ -80,10 +80,11 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
         // write-local topology => scan each shard's local table in
         // parallel (the read mirror of the R5 shard writer); otherwise a
         // single coordinator scan
-        val nodes = ShardTopology.resolve(options)
+        val nodes =
+          if (options.writeLocal) ShardTopology.resolveLive(options)
+          else Seq.empty
         val urls =
-          if (options.writeLocal && nodes.nonEmpty)
-            nodes.map(_.jdbcUrl(options.databaseName))
+          if (nodes.nonEmpty) nodes.map(_.jdbcUrl(options.databaseName))
           else Seq(options.url)
         urls.map(u => GraftJdbcPartition(u, sql)).toArray
     }
