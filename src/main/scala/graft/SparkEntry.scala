@@ -31,7 +31,8 @@ object SparkEntry {
     Round3cQueries.queries ++
     Round3dQueries.queries ++
     Round3eQueries.queries ++
-    Round3fQueries.queries
+    Round3fQueries.queries ++
+    Round5Queries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -47,5 +48,6 @@ object SparkEntry {
     Round3cQueries.oracle ++
     Round3dQueries.oracle ++
     Round3eQueries.oracle ++
-    Round3fQueries.oracle
+    Round3fQueries.oracle ++
+    Round5Queries.oracle
 }
