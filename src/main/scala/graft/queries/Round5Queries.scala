@@ -139,6 +139,95 @@ object Round5Queries {
           col("r_lex"), col("r_sem"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     }),
+
+    // Temperature-based data mixing (tau=2): per-language sampling
+    // weights proportional to (n_lang/N)^(1/tau) — the upsample-the-
+    // tails mixture used when assembling multilingual training sets.
+    // 1/tau = 0.5 makes the exponent an IEEE-exact sqrt (`pow` is
+    // libm-dependent and not bitwise-reproducible; sqrt is correctly
+    // rounded everywhere). The cross-group normalizer is a FOLD over
+    // the lang-sorted weight list, not a plain double sum — aggregation
+    // order is scheduler-dependent, fold order is written down. Doc
+    // selection is a deterministic md5-fraction Bernoulli against the
+    // per-lang rate, so n_sampled is exactly reproducible; at 100 TB
+    // the weights are a broadcast row and sampling is a stateless
+    // filter on the scan.
+    "q_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // ONE corpus-wide combine shuffle produces the 5-row lang counts;
+      // the total, the fold normalizer, and the per-lang rates all
+      // derive from that single collected row (folds, not re-scans —
+      // the naive formulation re-aggregates the corpus once per branch)
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val rates = broadcast(byLang
+        .agg(array_sort(collect_list(struct(col("lang"), col("n_docs"))))
+          .as("ln"))
+        .withColumn("n_total", aggregate(col("ln"), lit(0L),
+          (acc, x) => acc + x.getField("n_docs")))
+        .withColumn("total_w", aggregate(col("ln"), lit(0.0),
+          (acc, x) => acc +
+            sqrt(x.getField("n_docs").cast("double") / col("n_total"))))
+        .select(explode(col("ln")).as("e"),
+          col("n_total"), col("total_w"))
+        .select(col("e.lang").as("lang"),
+          col("e.n_docs").as("n_docs"),
+          (sqrt(col("e.n_docs").cast("double") / col("n_total")) /
+            col("total_w")).as("weight"),
+          col("n_total"))
+        .withColumn("rate", least(lit(1.0),
+          col("weight") * col("n_total") / col("n_docs")))
+        .select("lang", "n_docs", "weight", "rate"))
+      val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long").cast("double") / lit(4294967296.0)
+      docs.select(col("lang"), frac.as("frac"))
+        .join(rates, "lang")
+        .groupBy("lang").agg(
+          max(col("n_docs")).as("n_docs"), // constant per lang
+          max(col("weight")).as("weight"),
+          sum(when(col("frac") < col("rate"), 1L).otherwise(0L))
+            .as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    // BPE tokenizer APPLY (the encode counterpart of bpe_merge_step's
+    // train step): the top-3 adjacent-pair merges are derived from the
+    // corpus, broadcast as one pivoted row, and applied to every word's
+    // spaced-char form in rank order via three nested replaces (both
+    // engines replace left-to-right non-overlapping — the BPE rule).
+    // Output is the per-doc token count before/after — the statistic a
+    // pipeline needs to budget sequence lengths under a tokenizer. At
+    // 100 TB: one combine shuffle for pair counts, then a stateless
+    // broadcast map over the scan.
+    "bpe_apply" -> ((s, dir) => {
+      val words = PipelineQueries.spread(s, t(s, dir, "documents"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val pairCnt = words.filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val top3 = rankTop(pairCnt, 3,
+        Seq(col("cnt").desc, col("pair")), "rn")
+      val merges = broadcast(top3.agg(
+        max(when(col("rn") === 1, col("pair"))).as("m1"),
+        max(when(col("rn") === 2, col("pair"))).as("m2"),
+        max(when(col("rn") === 3, col("pair"))).as("m3")))
+      def pat(m: Column): Column =
+        concat_ws(" ", substring(m, 1, 1), substring(m, 2, 1))
+      val spaced = concat_ws(" ", split(col("w"), ""))
+      words.crossJoin(merges)
+        .withColumn("enc",
+          replace(
+            replace(
+              replace(spaced, pat(col("m1")), col("m1")),
+              pat(col("m2")), col("m2")),
+            pat(col("m3")), col("m3")))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("n_chars"),
+          sum(size(split(col("enc"), " "))).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** The BM25 scored-docs CTE mirrored in DuckDB (see bm25Scored for
@@ -225,5 +314,83 @@ object Round5Queries {
          |  r_lex, r_sem
          |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH n AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        |),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM n),
+        |w AS (
+        |  SELECT lang, n_docs,
+        |    sqrt(CAST(n_docs AS DOUBLE) / n_total) AS w
+        |  FROM n, tot
+        |),
+        |tw AS (
+        |  SELECT list_reduce(
+        |    [CAST(0 AS DOUBLE)] || list_transform(
+        |      list_sort(list(struct_pack(lang := lang, w := w))),
+        |      s -> s.w),
+        |    (acc, v) -> acc + v) AS total_w
+        |  FROM w
+        |),
+        |rates AS (
+        |  SELECT lang, n_docs, w / total_w AS weight,
+        |    LEAST(CAST(1 AS DOUBLE), w / total_w * n_total / n_docs)
+        |      AS rate
+        |  FROM w, tot, tw
+        |),
+        |frac AS (
+        |  SELECT lang,
+        |    CAST(list_reduce([CAST(0 AS BIGINT)] || list_transform(
+        |      string_split_regex(
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (acc, v) -> acc * 16 + v) AS DOUBLE)
+        |      / CAST(4294967296 AS DOUBLE) AS frac
+        |  FROM documents
+        |)
+        |SELECT f.lang, MAX(n_docs) AS n_docs, MAX(weight) AS weight,
+        |  CAST(SUM(CASE WHEN frac < rate THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sampled
+        |FROM frac f JOIN rates r ON f.lang = r.lang
+        |GROUP BY f.lang ORDER BY f.lang""".stripMargin,
+
+    "bpe_apply" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |),
+        |pairs AS (
+        |  SELECT pair, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)),
+        |      i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |    FROM words WHERE len(w) >= 2
+        |  ) GROUP BY 1
+        |),
+        |top3 AS (
+        |  SELECT pair, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rn
+        |  FROM pairs QUALIFY rn <= 3
+        |),
+        |m AS (
+        |  SELECT MAX(CASE WHEN rn = 1 THEN pair END) AS m1,
+        |    MAX(CASE WHEN rn = 2 THEN pair END) AS m2,
+        |    MAX(CASE WHEN rn = 3 THEN pair END) AS m3
+        |  FROM top3
+        |),
+        |enc AS (
+        |  SELECT doc_id, w,
+        |    replace(
+        |      replace(
+        |        replace(
+        |          array_to_string(string_split_regex(w, ''), ' '),
+        |          substr(m1, 1, 1) || ' ' || substr(m1, 2, 1), m1),
+        |        substr(m2, 1, 1) || ' ' || substr(m2, 2, 1), m2),
+        |      substr(m3, 1, 1) || ' ' || substr(m3, 2, 1), m3) AS enc
+        |  FROM words, m
+        |)
+        |SELECT doc_id, COUNT(*) AS n_words,
+        |  CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(len(string_split(enc, ' '))) AS BIGINT) AS n_tokens
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -53,4 +53,34 @@ class Round5QueriesSpec extends AnyFunSuite with SparkSuite {
     val fused = rows.map(_.getDouble(1))
     assert(fused.sameElements(fused.sorted(Ordering[Double].reverse)))
   }
+
+  test("q_temperature_mix: weights normalize to 1, tails upsampled") {
+    val rows = run("q_temperature_mix").collect()
+    val langs = rows.map(_.getString(0))
+    assert(langs.sameElements(langs.sorted) && langs.distinct.length == langs.length)
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    val weights = rows.map(_.getDouble(2))
+    assert(math.abs(weights.sum - 1.0) < 1e-12)
+    rows.foreach { r =>
+      val share = r.getLong(1) / n
+      val w = r.getDouble(2)
+      // sqrt temperature: rare langs gain weight, the dominant one loses
+      if (share < 1.0 / rows.length) assert(w > share)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(1))
+    }
+  }
+
+  test("bpe_apply: merges only ever shrink the token count") {
+    val rows = run("bpe_apply").collect()
+    val n = graft.Tables(spark, sf0001, "documents").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val words = r.getLong(1); val chars = r.getLong(2)
+      val tokens = r.getLong(3)
+      assert(tokens <= chars)  // every merge reduces tokens by 1
+      assert(tokens >= words)  // a word never drops below one token
+    }
+    // the top-3 merges must actually fire somewhere in the corpus
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2)))
+  }
 }
