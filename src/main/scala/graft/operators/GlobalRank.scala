@@ -100,10 +100,17 @@ object GlobalRank {
     * boundary sketches for ALL metrics come from a single approxQuantile
     * pass, the per-metric windows chain over the same base (each is a
     * bucket-partitioned reshuffle of the row set, never a duplicated
-    * upstream subtree — three separate withNtile calls re-derive the
-    * base per internal reference and the static plan balloons), and the
-    * per-bucket count aggregates are derived from a minimal projection
-    * of the base so exchange reuse collapses them.
+    * upstream subtree), and ALL per-bucket counts, all cumulative
+    * offsets, and the grand total come from ONE 1-row aggregate that is
+    * broadcast ONCE after the windows. The r4 shape derived a separate
+    * counts subtree + broadcast self-join per metric; column pruning
+    * specialized each branch's upstream aggregate so exchange reuse
+    * never fired and the static plan carried 3 redundant base scans
+    * (q_rfm_segments: 27 shuffles / 15 broadcasts → 8 / 2 here).
+    * Offsets are looked up closed-form: bucket counts are pivoted into
+    * ≤`buckets` columns of the stats row, the offset of bucket i is the
+    * written-order sum of the earlier columns, and each row reads its
+    * own via `element_at` — no join keys, no per-metric frames.
     *
     * `metrics` maps an EXISTING numeric, ASC-directional column name
     * (negate beforehand for DESC) to its output ntile column.
@@ -113,40 +120,64 @@ object GlobalRank {
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
     val allBounds = df.stat
       .approxQuantile(metrics.map(_._1).toArray, probes, 0.001)
-    def bucketExpr(m: String, bs: Array[Double]): Column = {
-      val sorted = bs.distinct.sorted
-      if (sorted.isEmpty) lit(0)
-      else sorted.map(b => when(col(m) > lit(b), 1).otherwise(0))
+      .map(_.distinct.sorted)
+    def bucketExpr(m: String, bs: Array[Double]): Column =
+      if (bs.isEmpty) lit(0)
+      else bs.map(b => when(col(m) > lit(b), 1).otherwise(0))
         .reduce(_ + _)
-    }
-    val total = df.groupBy().agg(count(lit(1)).as("__gr_total"))
-    val ranked = metrics.zip(allBounds).foldLeft(df) {
+    // shared projection: every metric's bucket id computed once
+    val bucketed = metrics.zip(allBounds).foldLeft(df) {
       case (acc, ((m, out), bs)) =>
-        val b = s"__gr_b_$out"
-        val be = bucketExpr(m, bs)
-        val wb = Window.partitionBy(col(b)).orderBy(col(m), tie)
-        // counts from the base projection, not the chained acc: the
-        // subtree stays (scan -> project -> agg) for every metric
-        val counts = df.select(col(m))
-          .withColumn(b, be)
-          .groupBy(col(b)).agg(count(lit(1)).as("__gr_n"))
-        val offsets = counts.as("a")
-          .join(broadcast(counts.as("b")),
-            col(s"b.$b") < col(s"a.$b"), "left")
-          .groupBy(col(s"a.$b").as(b))
-          .agg(coalesce(sum(col("b.__gr_n")), lit(0L)).as("__gr_off"))
-        acc.withColumn(b, be)
-          .withColumn("__gr_rn", row_number().over(wb))
-          .join(broadcast(offsets), b)
-          .withColumn(s"__gr_rank_$out",
-            col("__gr_off") + col("__gr_rn"))
-          .drop(b, "__gr_rn", "__gr_off")
+        acc.withColumn(s"__gr_b_$out", bucketExpr(m, bs))
     }
-    metrics.foldLeft(ranked.crossJoin(broadcast(total))) {
+    // ONE 1-row stats aggregate: per-metric per-bucket counts + total.
+    // Bucket ids are 0..bs.length (bs.length+1 values), statically ≤
+    // `buckets`, so the pivot is a bounded column list, exact in longs.
+    val countCols = metrics.zip(allBounds).flatMap { case ((_, out), bs) =>
+      (0 to bs.length).map(i =>
+        sum(when(col(s"__gr_b_$out") === i, 1L).otherwise(0L))
+          .as(s"__gr_c_${out}_$i"))
+    }
+    // Cumulative offsets are folded into ARRAY columns HERE, on the
+    // 1-row frame, via a single higher-order `aggregate` running-sum —
+    // O(1) generated code, interpreted lambda over ≤`buckets` elements
+    // of one row. Two rejected codegen-hostile forms: inlining per-bucket
+    // add-chains into the per-row projection, and materializing each
+    // cum_i as its own O(i) fold — both make the prefix sums a ~32-deep
+    // nest of shared subexpressions, and whole-stage codegen's
+    // subexpression-elimination state recursion grows EXPONENTIALLY in
+    // that depth (observed: >2 GB generated-source string at B=32).
+    val stats = metrics.zip(allBounds).foldLeft(
+      bucketed.groupBy().agg(count(lit(1)).as("__gr_total"), countCols: _*)
+    ) { case (acc, ((_, out), bs)) =>
+        val countsArr = array(
+          (0 to bs.length).map(i => col(s"__gr_c_${out}_$i")): _*)
+        // running sum [0, c0, c0+c1, ...]; drop the grand total at the
+        // end — element i (1-based i+1) is the offset of bucket i
+        acc.withColumn(s"__gr_cum_$out",
+          slice(aggregate(countsArr, array(lit(0L)),
+            (a, x) => concat(a, array(element_at(a, -1) + x))),
+            1, bs.length + 1))
+    }.select(col("__gr_total") +:
+      metrics.map { case (_, out) => col(s"__gr_cum_$out") }: _*)
+    // per-metric in-bucket row numbers: window PARTITIONED by bucket
+    val ranked = metrics.foldLeft(bucketed) { case (acc, (m, out)) =>
+      val b = s"__gr_b_$out"
+      acc.withColumn(s"__gr_rn_$out", row_number()
+        .over(Window.partitionBy(col(b)).orderBy(col(m), tie)))
+    }
+    // rank = offset-of-earlier-buckets + in-bucket row number, with the
+    // offset read out of the broadcast stats row (element_at is 1-based)
+    val withScores = metrics.foldLeft(ranked.crossJoin(broadcast(stats))) {
       case (acc, (_, out)) =>
-        acc.withColumn(out,
-            ntileFromRank(col(s"__gr_rank_$out"), col("__gr_total"), k))
-          .drop(s"__gr_rank_$out")
-    }.drop("__gr_total")
+        acc.withColumn(out, ntileFromRank(
+          element_at(col(s"__gr_cum_$out"), col(s"__gr_b_$out") + 1) +
+            col(s"__gr_rn_$out"),
+          col("__gr_total"), k))
+    }
+    val aux = metrics.flatMap { case (_, out) =>
+      Seq(s"__gr_b_$out", s"__gr_rn_$out", s"__gr_cum_$out") } ++
+      Seq("__gr_total")
+    withScores.drop(aux: _*)
   }
 }
