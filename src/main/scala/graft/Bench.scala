@@ -26,41 +26,23 @@ import java.util.concurrent.{Executors, FutureTask, TimeUnit, TimeoutException}
   * sweep.
   */
 object Bench {
-  private def buildSession(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // AQE OFF for the timing harness (override: SPARK_GRAFT_AQE=true).
-      // Evidence (r4): with AQE on, the back-to-back pass of the same
-      // query swings 2.3s..58s, and thread dumps during the slow passes
-      // show EVERY thread parked — executors idle, DAG scheduler idle,
-      // dispatchers idle — while the action thread waits in
-      // AdaptiveSparkPlanExec.withFinalPlanUpdate's event-queue take():
-      // a local-mode lost-wakeup in the stage-materialization event
-      // loop, not compute. With AQE off the same pass is a stable 1.8s.
-      // Nothing here needs runtime re-planning: every query broadcast-
-      // hints its small sides explicitly and shuffles are fixed 32-way,
-      // so the static plan IS the intended plan (plan-contracts.tsv
-      // pins it). On a real cluster at real scale AQE belongs ON (skew
-      // splits, runtime broadcasts); this flag only de-noises the
-      // single-JVM measurement.
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
-      // AQE coalescing is byte-based and its merge decisions flip run to
-      // run on the few-MB shuffles that feed quadratic per-pair CPU work
-      // (near-dup joins), serializing them unpredictably (1-18s swings).
-      // Plain 32-way shuffles cost only task-startup ms at this scale.
-      .config("spark.sql.adaptive.coalescePartitions.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "false"))
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS); set at session build, not
-      // inside the table loader (a loader must not mutate shared conf).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
-  }
+  // AQE OFF for the timing harness (override: SPARK_GRAFT_AQE=true).
+  // Evidence (r4): with AQE on, the back-to-back pass of the same
+  // query swings 2.3s..58s, and thread dumps during the slow passes
+  // show EVERY thread parked — executors idle, DAG scheduler idle,
+  // dispatchers idle — while the action thread waits in
+  // AdaptiveSparkPlanExec.withFinalPlanUpdate's event-queue take():
+  // a local-mode lost-wakeup in the stage-materialization event
+  // loop, not compute. With AQE off the same pass is a stable 1.8s.
+  // Nothing here needs runtime re-planning: every query broadcast-
+  // hints its small sides explicitly and shuffles are fixed 32-way,
+  // so the static plan IS the intended plan (plan-contracts.tsv
+  // pins it). On a real cluster at real scale AQE belongs ON (skew
+  // splits, runtime broadcasts); this default only de-noises the
+  // single-JVM measurement. Shared via GraftSession so Verify, the
+  // contracts, and the tests measure the same plans.
+  private def buildSession(cpus: String): SparkSession =
+    GraftSession.build(cpus = cpus, appName = "graft-bench")
 
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._

@@ -12,20 +12,10 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // AQE coalescing is byte-based and its merge decisions flip run to
-      // run on the few-MB shuffles that feed quadratic per-pair CPU work
-      // (near-dup joins), serializing them unpredictably (1-18s swings).
-      // Plain 32-way shuffles cost only task-startup ms at this scale.
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the one surface that wants AQE ON by default: its whole point is
+    // showing the final adaptive plan a cluster would run
+    val spark = GraftSession.build(cpus = cpus, appName = "graft-explain",
+      aqeDefault = "true")
     names.foreach { n =>
       println(s"===== $n =====")
       val df = SparkEntry.queries(n)(spark, sfDir)

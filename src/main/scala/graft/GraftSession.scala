@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** THE session construction site for every runtime surface — Smoke,
+  * Verify, Bench, SinkBench, Explain, PlanContracts, and the test
+  * suites all build here, so the measured plan, the verified plan, and
+  * the pinned plan contract can never diverge by config drift (in r4
+  * the AQE flag was set in three places and defaulted differently in a
+  * fourth).
+  *
+  * Config rationale:
+  *  - `spark.sql.shuffle.partitions` = cpus, not 200: the harness is a
+  *    single JVM; at cluster scale the caller sizes this to the data.
+  *  - AQE OFF by default (`SPARK_GRAFT_AQE=true` restores it): a
+  *    local-mode lost-wakeup in AQE's final-plan event loop produced
+  *    r3's multi-minute idle stalls (thread dumps in Bench.scala's
+  *    header comment), and every query broadcast-hints its small sides
+  *    explicitly so the static plan IS the intended plan. On a real
+  *    cluster AQE belongs ON (skew splits, runtime broadcasts); this
+  *    default only de-noises the single-JVM harness. It also keeps the
+  *    plan-contract space consistent: with AQE on, the non-AQE
+  *    ReuseExchange rule is skipped and static exchange counts can
+  *    differ from what Bench/Verify actually execute.
+  *  - AQE coalescing stays off even under SPARK_GRAFT_AQE=true unless
+  *    SPARK_GRAFT_AQE_COALESCE=true: its byte-based merge decisions
+  *    flip run-to-run on the few-MB shuffles that feed quadratic
+  *    per-pair CPU work, serializing them unpredictably (1-18 s swings).
+  *  - `nanosAsLong` is set at session build, never inside a table
+  *    loader (a loader must not mutate shared conf): events.ts is
+  *    parquet TIMESTAMP(NANOS).
+  */
+object GraftSession {
+
+  def build(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+            appName: String = "graft",
+            aqeDefault: String = "false"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", aqeDefault))
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "false"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -11,26 +11,11 @@ object Verify {
     val outDir = args(1)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    def buildSession(): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        // AQE off by default, like Bench (see the rationale there): the
-        // local-mode lost-wakeup in AQE's final-plan event loop showed
-        // up as r3's transient Verify failure and adds 30-150s idle
-        // holes. Results are identical either way — AQE never changes
-        // values — and SPARK_GRAFT_AQE=true restores it.
-        .config("spark.sql.adaptive.enabled",
-          sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
+    // AQE off by default, like Bench (rationale in GraftSession): the
+    // local-mode lost-wakeup in AQE's final-plan event loop showed up
+    // as r3's transient Verify failure. Results are identical either
+    // way — AQE never changes values.
+    def buildSession(): SparkSession = GraftSession.build(appName = "graft-verify")
     var spark = buildSession()
     // a dead context must not cascade failures across the remaining sweep
     def session(): SparkSession = {

@@ -20,15 +20,8 @@ import graft.SparkEntry
 object PlanContracts {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("src/test/resources/plan-contracts.tsv")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-plan-contracts")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.build(cpus = "4",
+      appName = "graft-plan-contracts")
 
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) =>
       s"$n\t${PlanSignature.of(f(spark, "/root/testdata/sf0.001"))}"

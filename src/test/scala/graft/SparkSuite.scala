@@ -10,16 +10,8 @@ trait SparkSuite extends AnyFunSuite {
 }
 
 object SparkSuite {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // same construction site as Verify/Bench/PlanContracts (GraftSession):
+  // the plan a spec asserts on is the plan the harness measures
+  lazy val session: SparkSession =
+    GraftSession.build(cpus = "4", appName = "graft-tests")
 }
