@@ -1,16 +1,21 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.sink.dsv2.MemorySinkRegistry
 
 /** Sink write-path throughput: pushes the sf0.1 lineitem table (600k rows,
   * 11 columns) through the full DSv2 path — option validation, mode
-  * dispatch, InternalRow conversion, count-trigger buffering — into the
-  * in-memory executor. Prints one JSON line with rows/sec. The reference's
-  * comparable figure is bounded by its ClickHouse server, which does not
-  * exist offline; this measures everything on our side of that socket.
+  * dispatch, changelog sign/flag injection, InternalRow conversion,
+  * count-trigger buffering — into the in-memory executor, once per
+  * executor mode (R9 insert-only, R10 collapsing, R11 replacing). The
+  * collapsing/replacing runs carry a realistic op-kind mix (80% I,
+  * 10% +U/-U pairs, 10% D) so the changelog mapping is on the measured
+  * path, not constant-folded. Prints one JSON line with per-mode rows/s.
+  * The reference's comparable figure is bounded by its ClickHouse
+  * server, which does not exist offline; this measures everything on
+  * our side of that socket.
   */
 object SinkBench {
   def main(args: Array[String]): Unit = {
@@ -23,22 +28,54 @@ object SinkBench {
       .cache()
     val n = li.count() // materialize cache so the write measures the sink
 
-    def write(): Double = {
+    // deterministic changelog op mix keyed on the row, no RNG state
+    val asChangelog = li.withColumn("op",
+      when(pmod(col("l_orderkey") + col("l_linenumber"), lit(10)) === 0, "D")
+        .when(pmod(col("l_orderkey") + col("l_linenumber"), lit(10)) === 1,
+          "-U")
+        .when(pmod(col("l_orderkey") + col("l_linenumber"), lit(10)) === 2,
+          "+U")
+        .otherwise("I"))
+      .cache()
+    asChangelog.count()
+
+    def write(df: DataFrame, modeOpts: Map[String, String]): Double = {
       MemorySinkRegistry.clear()
       val t0 = System.nanoTime()
-      li.write.format("clickhouse-style")
+      val w = df.write.format("clickhouse-style")
         .option("url", "clickhouse://localhost:8123")
         .option("table-name", "lineitem_sink")
         .option("sink.batch-size", "100000") // the README's production value
         .option("graft.executor", "memory")
-        .mode("append").save()
+      modeOpts.foreach { case (k, v) => w.option(k, v) }
+      w.mode("append").save()
       (System.nanoTime() - t0) / 1e9
     }
-    write() // warm-up
-    val sec = write()
-    val written = MemorySinkRegistry.all.map(_._2.size).sum
-    assert(written == n, s"wrote $written of $n rows")
-    println(f"""{"metric":"sink_rows_per_sec","value":${n / sec}%.0f,"rows":$n,"sec":$sec%.3f}""")
+
+    case class Mode(name: String, df: DataFrame, opts: Map[String, String],
+                    expectRows: Long)
+    // collapsing/replacing write EVERY changelog row (sign/flag encodes
+    // the kind); insert-only on the plain table writes all n
+    val pk = Map("primary-key" -> "l_orderkey,l_linenumber")
+    val modes = Seq(
+      Mode("insert_only", li, Map.empty, n),
+      Mode("collapsing", asChangelog,
+        pk + ("table.collapsing.field" -> "sign"), n),
+      Mode("replacing", asChangelog,
+        pk + ("table.replacing.field" -> "is_deleted"), n))
+
+    val results = modes.map { m =>
+      write(m.df, m.opts) // warm-up
+      val sec = write(m.df, m.opts)
+      val written = MemorySinkRegistry.all.map(_._2.size).sum
+      assert(written == m.expectRows,
+        s"${m.name}: wrote $written of ${m.expectRows} rows")
+      m.name -> sec
+    }
+    val perMode = results.map { case (name, sec) =>
+      f""""$name":${n / sec}%.0f""" }.mkString(",")
+    val headline = n / results.head._2
+    println(f"""{"metric":"sink_rows_per_sec","value":$headline%.0f,"rows":$n,"modes_rows_per_sec":{$perMode}}""")
     spark.stop()
   }
 }
