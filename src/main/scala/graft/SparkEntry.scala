@@ -32,7 +32,8 @@ object SparkEntry {
     Round3dQueries.queries ++
     Round3eQueries.queries ++
     Round3fQueries.queries ++
-    Round5Queries.queries
+    Round5Queries.queries ++
+    Round5bQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -49,5 +50,6 @@ object SparkEntry {
     Round3dQueries.oracle ++
     Round3eQueries.oracle ++
     Round3fQueries.oracle ++
-    Round5Queries.oracle
+    Round5Queries.oracle ++
+    Round5bQueries.oracle
 }
