@@ -33,7 +33,8 @@ object SparkEntry {
     Round3eQueries.queries ++
     Round3fQueries.queries ++
     Round5Queries.queries ++
-    Round5bQueries.queries
+    Round5bQueries.queries ++
+    Round5cQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -51,5 +52,6 @@ object SparkEntry {
     Round3eQueries.oracle ++
     Round3fQueries.oracle ++
     Round5Queries.oracle ++
-    Round5bQueries.oracle
+    Round5bQueries.oracle ++
+    Round5cQueries.oracle
 }
