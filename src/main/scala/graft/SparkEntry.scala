@@ -34,7 +34,8 @@ object SparkEntry {
     Round3fQueries.queries ++
     Round5Queries.queries ++
     Round5bQueries.queries ++
-    Round5cQueries.queries
+    Round5cQueries.queries ++
+    Round5dQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -53,5 +54,6 @@ object SparkEntry {
     Round3fQueries.oracle ++
     Round5Queries.oracle ++
     Round5bQueries.oracle ++
-    Round5cQueries.oracle
+    Round5cQueries.oracle ++
+    Round5dQueries.oracle
 }
