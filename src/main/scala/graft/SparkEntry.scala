@@ -35,7 +35,8 @@ object SparkEntry {
     Round5Queries.queries ++
     Round5bQueries.queries ++
     Round5cQueries.queries ++
-    Round5dQueries.queries
+    Round5dQueries.queries ++
+    Round5eQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -55,5 +56,6 @@ object SparkEntry {
     Round5Queries.oracle ++
     Round5bQueries.oracle ++
     Round5cQueries.oracle ++
-    Round5dQueries.oracle
+    Round5dQueries.oracle ++
+    Round5eQueries.oracle
 }
