@@ -36,7 +36,8 @@ object SparkEntry {
     Round5bQueries.queries ++
     Round5cQueries.queries ++
     Round5dQueries.queries ++
-    Round5eQueries.queries
+    Round5eQueries.queries ++
+    Round5fQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -57,5 +58,6 @@ object SparkEntry {
     Round5bQueries.oracle ++
     Round5cQueries.oracle ++
     Round5dQueries.oracle ++
-    Round5eQueries.oracle
+    Round5eQueries.oracle ++
+    Round5fQueries.oracle
 }
