@@ -37,7 +37,8 @@ object SparkEntry {
     Round5cQueries.queries ++
     Round5dQueries.queries ++
     Round5eQueries.queries ++
-    Round5fQueries.queries
+    Round5fQueries.queries ++
+    Round5gQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -59,5 +60,6 @@ object SparkEntry {
     Round5cQueries.oracle ++
     Round5dQueries.oracle ++
     Round5eQueries.oracle ++
-    Round5fQueries.oracle
+    Round5fQueries.oracle ++
+    Round5gQueries.oracle
 }
