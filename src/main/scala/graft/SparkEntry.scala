@@ -38,7 +38,8 @@ object SparkEntry {
     Round5dQueries.queries ++
     Round5eQueries.queries ++
     Round5fQueries.queries ++
-    Round5gQueries.queries
+    Round5gQueries.queries ++
+    Round5hQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -61,5 +62,6 @@ object SparkEntry {
     Round5dQueries.oracle ++
     Round5eQueries.oracle ++
     Round5fQueries.oracle ++
-    Round5gQueries.oracle
+    Round5gQueries.oracle ++
+    Round5hQueries.oracle
 }
