@@ -32,14 +32,25 @@ import graft.sink.{GraftSinkOptions, ShardTopology, StatementFactory}
   */
 class GraftScanBuilder(options: GraftSinkOptions, executorKind: String,
     schema: StructType) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
+
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr,
+    NamedReference, SortOrder => V2SortOrder, SortDirection, NullOrdering}
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[PushedAgg] = None
+  private var limit: Option[Int] = None
+  private var topN: Seq[OrderSpec] = Seq.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty pruned schema (count(*) over the scan) keeps one column so
-    // the generated SELECT stays valid and row counts are preserved
+    // the generated SELECT stays valid and row counts are preserved.
+    // With an aggregation pushed, Spark prunes to the agg schema — the
+    // agg readers own the output shape, so this assignment is inert.
     required =
       if (requiredSchema.isEmpty) StructType(schema.fields.take(1))
       else requiredSchema
@@ -51,22 +62,139 @@ class GraftScanBuilder(options: GraftSinkOptions, executorKind: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  private def fieldOf(e: V2Expr): Option[StructField] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      schema.fields.find(_.name == nr.fieldNames.head)
+    case _ => None
+  }
+
+  /** Types whose JVM representations in the buffered rows are mutually
+    * Comparable and equatable — the set both the memory group-by and
+    * min/max fold can handle, and that render as ClickHouse literals.
+    */
+  private def plain(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** PARTIAL aggregate pushdown (supportCompletePushDown stays false):
+    * each partition — writer partition for the memory endpoint, shard
+    * node for JDBC — returns per-group partial rows and Spark's final
+    * aggregate merges them, so correctness never depends on this being
+    * a complete aggregation. Spark only attempts the push when every
+    * filter was consumed by the scan; this source reports all filters
+    * as residual, so aggregation is only ever pushed on filterless
+    * scans — the pushed-WHERE branch below is defensive.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    val groups = aggregation.groupByExpressions.toSeq.map(fieldOf)
+    if (groups.exists(g => g.isEmpty || !plain(g.get.dataType))) return false
+    val funcs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggSpec("count", None, LongType))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(f => AggSpec("count", Some(f.name), LongType))
+      case m: Min => fieldOf(m.column).collect {
+        case f if plain(f.dataType) => AggSpec("min", Some(f.name), f.dataType)
+      }
+      case m: Max => fieldOf(m.column).collect {
+        case f if plain(f.dataType) => AggSpec("max", Some(f.name), f.dataType)
+      }
+      case s: Sum if !s.isDistinct => fieldOf(s.column).collect {
+        // Spark's partial-sum buffer types: integral → long,
+        // fractional → double, decimal(p,s) → decimal(min(38,p+10),s)
+        case f if plain(f.dataType) && sumType(f.dataType).isDefined =>
+          AggSpec("sum", Some(f.name), sumType(f.dataType).get)
+      }
+      case _ => None // distinct/avg/general aggregates stay Spark-side
+    }
+    if (funcs.exists(_.isEmpty) || funcs.isEmpty) return false
+    agg = Some(PushedAgg(groups.map(_.get), funcs.map(_.get)))
+    true
+  }
+
+  private def sumType(dt: DataType): Option[DataType] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(LongType)
+    case FloatType | DoubleType => Some(DoubleType)
+    case d: DecimalType =>
+      Some(DecimalType(math.min(38, d.precision + 10), d.scale))
+    case _ => None
+  }
+
+  /** Per-partition LIMIT: every partition returns at most N rows, which
+    * always contains the global top-N superset; isPartiallyPushed stays
+    * true so Spark applies the global limit again.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  // both SupportsPushDownLimit and SupportsPushDownTopN declare this
+  // default; Scala requires one explicit tie-breaker. Always partial:
+  // Spark re-applies the global limit/sort over the per-partition rows.
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY + LIMIT pushdown for the JDBC path only (the server does
+    * the bounded sort; Spark re-sorts the ≤N·shards survivors). The
+    * memory endpoint rejects: its buffered rows are returned unsorted
+    * and a partial top-N MUST be sorted to be a valid superset.
+    */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    if (executorKind == "memory") return false
+    val specs = orders.toSeq.map { o =>
+      fieldOf(o.expression).map(f => OrderSpec(f.name,
+        o.direction == SortDirection.ASCENDING,
+        o.nullOrdering == NullOrdering.NULLS_FIRST))
+    }
+    if (specs.exists(_.isEmpty)) return false
+    topN = specs.flatten
+    limit = Some(l)
+    true
+  }
+
   override def build(): Scan =
-    new GraftScan(options, executorKind, schema, required, pushed)
+    new GraftScan(options, executorKind, schema, required, pushed,
+      agg, limit, topN)
 }
 
+/** One translated aggregate: kind ∈ count/min/max/sum, the source column
+  * (None = count(*)), and the OUTPUT type Spark's final merge expects.
+  */
+case class AggSpec(kind: String, col: Option[String], out: DataType)
+
+case class PushedAgg(groupCols: Seq[StructField], funcs: Seq[AggSpec]) {
+  /** Scan output shape Spark expects: group columns then agg columns. */
+  def schema: StructType = StructType(
+    groupCols ++ funcs.zipWithIndex.map { case (f, i) =>
+      StructField(s"${f.kind}_${f.col.getOrElse("star")}_$i", f.out)
+    })
+}
+
+case class OrderSpec(col: String, asc: Boolean, nullsFirst: Boolean)
+
 class GraftScan(options: GraftSinkOptions, executorKind: String,
-    fullSchema: StructType, required: StructType, pushed: Array[Filter])
+    fullSchema: StructType, required: StructType, pushed: Array[Filter],
+    agg: Option[PushedAgg] = None, limit: Option[Int] = None,
+    topN: Seq[OrderSpec] = Seq.empty)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
 
   override def toBatch: Batch = this
 
   override def description(): String =
     s"clickhouse-style:${options.tableName} " +
       s"PushedFilters: [${pushed.flatMap(FilterSql.render).mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}"
+      agg.map(a => s"PushedAggregates: [${a.funcs.map(f =>
+        s"${f.kind.toUpperCase}(${f.col.getOrElse("*")})").mkString(", ")}], " +
+        s"PushedGroupBy: [${a.groupCols.map(_.name).mkString(", ")}], ")
+        .getOrElse("") +
+      limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
+      (if (topN.nonEmpty) s"PushedTopN: [${topN.map(o =>
+        s"${o.col} ${if (o.asc) "ASC" else "DESC"}").mkString(", ")}], "
+       else "") +
+      s"ReadSchema: ${readSchema().simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] =
     executorKind match {
@@ -89,12 +217,42 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
         urls.map(u => GraftJdbcPartition(u, sql)).toArray
     }
 
-  private def sql: String = StatementFactory.select(options.tableName,
-    required.fieldNames.toSeq, pushed.flatMap(FilterSql.render).toSeq)
+  /** The generated server-side statement, aggregate/order/limit aware.
+    * Exposed package-private so unit tests can pin the SQL without a
+    * live server.
+    */
+  private[dsv2] def sql: String = {
+    val q = StatementFactory.quoteIdentifier _
+    val base = agg match {
+      case Some(a) =>
+        val cols = a.groupCols.map(f => q(f.name)) ++ a.funcs.map { f =>
+          val arg = f.col.map(q).getOrElse("*")
+          s"${f.kind}($arg)"
+        }
+        val where = pushed.flatMap(FilterSql.render) match {
+          case Array() => ""
+          case fs => fs.mkString(" WHERE (", ") AND (", ")")
+        }
+        val group =
+          if (a.groupCols.isEmpty) ""
+          else a.groupCols.map(f => q(f.name)).mkString(" GROUP BY ", ", ", "")
+        s"SELECT ${cols.mkString(", ")} FROM ${q(options.tableName)}" +
+          where + group
+      case None =>
+        StatementFactory.select(options.tableName,
+          required.fieldNames.toSeq, pushed.flatMap(FilterSql.render).toSeq)
+    }
+    val order =
+      if (topN.isEmpty) ""
+      else topN.map(o => s"${q(o.col)} ${if (o.asc) "ASC" else "DESC"} " +
+        s"NULLS ${if (o.nullsFirst) "FIRST" else "LAST"}")
+        .mkString(" ORDER BY ", ", ", "")
+    base + order + limit.map(l => s" LIMIT $l").getOrElse("")
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(fullSchema, required,
-      options.username, options.password)
+    new GraftReaderFactory(fullSchema, readSchema(),
+      options.username, options.password, agg, limit)
 
   /** Streaming READ: replay the table's committed batches as
     * micro-batches — a changelog-replay source (the op column, if the
@@ -196,16 +354,93 @@ case class GraftJdbcPartition(url: String, sql: String)
     extends InputPartition
 
 class GraftReaderFactory(fullSchema: StructType, required: StructType,
-    username: Option[String], password: Option[String])
+    username: Option[String], password: Option[String],
+    agg: Option[PushedAgg] = None, limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case GraftMemoryPartition(table, pid) =>
-        new GraftMemoryReader(table, pid, fullSchema, required)
+        agg match {
+          case Some(a) =>
+            new GraftMemoryAggReader(table, pid, fullSchema, a, limit)
+          case None =>
+            new GraftMemoryReader(table, pid, fullSchema, required, limit)
+        }
       case GraftJdbcPartition(url, sql) =>
         new GraftJdbcReader(url, sql, required, username, password)
     }
+}
+
+/** Per-partition PARTIAL aggregation over the memory endpoint's buffered
+  * rows — the scan-side half of pushed-down aggregation. Each writer
+  * partition returns one row per group; Spark's final aggregate merges
+  * partials across partitions (count via sum, min via min, …), so this
+  * never needs to be a complete aggregation.
+  */
+class GraftMemoryAggReader(table: String, pid: Int,
+    fullSchema: StructType, agg: PushedAgg, limit: Option[Int])
+    extends PartitionReader[InternalRow] {
+
+  private val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(agg.schema)
+
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  private val rows: Iterator[Row] = {
+    val src = MemorySinkRegistry.allFor(table)
+      .filter(_._1 == pid).flatMap(_._2)
+    val gIdx = agg.groupCols.map(f => fullSchema.fieldIndex(f.name))
+    val grouped = src.groupBy(r => gIdx.map(r.get))
+    val out = grouped.toSeq.map { case (key, rs) =>
+      val aggVals = agg.funcs.map { f =>
+        val vs = f.col.map(c => rs.map(_.get(fullSchema.fieldIndex(c)))
+          .filter(_ != null)).getOrElse(rs.map(_ => ()))
+        f.kind match {
+          case "count" => vs.size.toLong
+          case "min" => if (vs.isEmpty) null else vs.reduce(
+            (a, b) => if (cmp(a, b) <= 0) a else b)
+          case "max" => if (vs.isEmpty) null else vs.reduce(
+            (a, b) => if (cmp(a, b) >= 0) a else b)
+          case "sum" =>
+            if (vs.isEmpty) null
+            else f.out match {
+              case LongType =>
+                vs.map(_.asInstanceOf[Number].longValue).sum
+              case DoubleType =>
+                vs.map(_.asInstanceOf[Number].doubleValue).sum
+              case _: DecimalType => vs.map {
+                case d: java.math.BigDecimal => BigDecimal(d)
+                case d: BigDecimal => d
+                case n: Number => BigDecimal(n.toString)
+              }.sum.underlying
+            }
+        }
+      }
+      // same NTZ shape fix-up as RowProjection: buffered rows carry
+      // java.sql.Timestamp, Catalyst's NTZ converter wants LocalDateTime
+      val vals = (key ++ aggVals).zip(agg.schema.fields).map {
+        case (t: java.sql.Timestamp, f) if f.dataType == TimestampNTZType =>
+          t.toLocalDateTime
+        case (v, _) => v
+      }
+      Row.fromSeq(vals)
+    }
+    limit.map(out.take).getOrElse(out).iterator
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!rows.hasNext) false
+    else {
+      current = toCatalyst(rows.next()).asInstanceOf[InternalRow]
+      true
+    }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
 }
 
 /** Shared projection of a buffered external Row (the writer's physical
@@ -239,12 +474,17 @@ private[dsv2] object RowProjection {
   * (positions resolved against the declared full schema).
   */
 class GraftMemoryReader(table: String, pid: Int,
-    fullSchema: StructType, required: StructType)
+    fullSchema: StructType, required: StructType,
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val project = RowProjection(fullSchema, required)
-  private val rows: Iterator[Row] = MemorySinkRegistry.allFor(table)
-    .filter(_._1 == pid).flatMap(_._2).iterator
+  private val rows: Iterator[Row] = {
+    val all = MemorySinkRegistry.allFor(table)
+      .filter(_._1 == pid).flatMap(_._2)
+    // per-partition LIMIT: ≤N rows each always covers the global first-N
+    limit.map(all.take).getOrElse(all).iterator
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean =

@@ -1,0 +1,128 @@
+package graft.sink.dsv2
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.sink.GraftSinkOptions
+
+/** Aggregate / limit / top-N pushdown on the DSv2 read path. The memory
+  * endpoint exercises the partial-aggregation readers end-to-end; the
+  * JDBC SQL generation is pinned at the Scan level (no server needed).
+  */
+class Dsv2PushdownSpec extends AnyFunSuite with SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("grp", StringType),
+    StructField("score", DoubleType)))
+
+  private def writeSample(table: String): Unit = {
+    import spark.implicits._
+    (1L to 20L).map(i => (i, s"g${i % 3}", i * 1.5))
+      .toDF("id", "grp", "score")
+      .coalesce(2).write.format("clickhouse-style")
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", table)
+      .option("graft.executor", "memory")
+      .mode("append").save()
+  }
+
+  private def readBack(table: String) =
+    spark.read.format("clickhouse-style")
+      .schema(schema)
+      .option("url", "clickhouse://localhost:8123")
+      .option("table-name", table)
+      .option("graft.executor", "memory")
+      .load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+
+  test("grouped aggregate pushes down and stays exact") {
+    MemorySinkRegistry.clear()
+    writeSample("t_agg")
+    val df = readBack("t_agg").groupBy("grp")
+      .agg(count(lit(1)).as("n"), max("score").as("mx"),
+        sum("id").as("s"))
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedAggregates"),
+      scan.description())
+    assert(scan.description().contains("PushedGroupBy: [grp]"))
+    // partial push: the scan returns group/agg columns, Spark merges
+    assert(scan.readSchema().fields.head.name == "grp")
+    val got = df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // 20 ids over grp = id%3: g0={3..18 step3}=6, g1={1..19}=7, g2=7
+    assert(got("g0") == ((6L, 27.0, 3L + 6 + 9 + 12 + 15 + 18)))
+    assert(got("g1")._1 == 7L && got("g2")._1 == 7L)
+    assert(got("g1")._2 == 28.5) // max score in g1 = 19*1.5
+  }
+
+  test("global aggregate (no grouping) pushes down and stays exact") {
+    MemorySinkRegistry.clear()
+    writeSample("t_gagg")
+    val df = readBack("t_gagg")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedAggregates"),
+      scan.description())
+    val r = df.collect().head
+    assert(r.getLong(0) == 20L && r.getLong(1) == 1L && r.getLong(2) == 20L)
+  }
+
+  test("aggregate does NOT push when a filter stays residual") {
+    MemorySinkRegistry.clear()
+    writeSample("t_aggf")
+    val df = readBack("t_aggf").filter("id > 5").groupBy("grp").count()
+    val scan = scanOf(df)
+    // every filter is residual by contract, so Spark must keep the
+    // aggregation its side — and results stay exact
+    assert(!scan.description().contains("PushedAggregates"),
+      scan.description())
+    assert(df.collect().map(_.getLong(1)).sum == 15L)
+  }
+
+  test("limit pushes per-partition and the global limit still applies") {
+    MemorySinkRegistry.clear()
+    writeSample("t_lim")
+    val df = readBack("t_lim").limit(3)
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedLimit: 3"),
+      scan.description())
+    assert(df.collect().length == 3)
+  }
+
+  test("count(distinct) stays Spark-side (not translatable)") {
+    MemorySinkRegistry.clear()
+    writeSample("t_dist")
+    val df = readBack("t_dist").groupBy("grp")
+      .agg(countDistinct("score").as("d"))
+    assert(!scanOf(df).description().contains("PushedAggregates"))
+    assert(df.collect().map(_.getLong(1)).sum == 20L)
+  }
+
+  test("JDBC scan SQL renders aggregate, top-N and limit") {
+    val opts = GraftSinkOptions.fromMap(Map(
+      "url" -> "clickhouse://host:8123", "table-name" -> "t"))
+    val aggScan = new GraftScan(opts, "jdbc", schema, schema,
+      Array.empty,
+      Some(PushedAgg(
+        Seq(schema("grp")),
+        Seq(AggSpec("count", None, LongType),
+          AggSpec("sum", Some("id"), LongType),
+          AggSpec("min", Some("score"), DoubleType)))))
+    assert(aggScan.sql ==
+      "SELECT `grp`, count(*), sum(`id`), min(`score`) FROM `t` GROUP BY `grp`")
+    val topScan = new GraftScan(opts, "jdbc", schema,
+      StructType(schema.fields.take(2)), Array.empty, None, Some(5),
+      Seq(OrderSpec("score", asc = false, nullsFirst = false)))
+    assert(topScan.sql.endsWith(
+      "ORDER BY `score` DESC NULLS LAST LIMIT 5"), topScan.sql)
+  }
+}
