@@ -39,7 +39,8 @@ object SparkEntry {
     Round5eQueries.queries ++
     Round5fQueries.queries ++
     Round5gQueries.queries ++
-    Round5hQueries.queries
+    Round5hQueries.queries ++
+    Round5iQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -63,5 +64,6 @@ object SparkEntry {
     Round5eQueries.oracle ++
     Round5fQueries.oracle ++
     Round5gQueries.oracle ++
-    Round5hQueries.oracle
+    Round5hQueries.oracle ++
+    Round5iQueries.oracle
 }

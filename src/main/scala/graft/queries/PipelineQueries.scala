@@ -505,7 +505,7 @@ object PipelineQueries {
     s"list_min(list_transform(s, x -> md5('$j:' || x))) AS mh$j")
     .mkString(",\n    ")
 
-  private val bandsCte =
+  private[queries] val bandsCte =
     s"""WITH $shinglesCte,
        |sig AS (
        |  SELECT doc_id,
