@@ -40,7 +40,8 @@ object SparkEntry {
     Round5fQueries.queries ++
     Round5gQueries.queries ++
     Round5hQueries.queries ++
-    Round5iQueries.queries
+    Round5iQueries.queries ++
+    Round5jQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -65,5 +66,6 @@ object SparkEntry {
     Round5fQueries.oracle ++
     Round5gQueries.oracle ++
     Round5hQueries.oracle ++
-    Round5iQueries.oracle
+    Round5iQueries.oracle ++
+    Round5jQueries.oracle
 }
