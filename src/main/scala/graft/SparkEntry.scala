@@ -41,7 +41,8 @@ object SparkEntry {
     Round5gQueries.queries ++
     Round5hQueries.queries ++
     Round5iQueries.queries ++
-    Round5jQueries.queries
+    Round5jQueries.queries ++
+    Round5kQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -67,5 +68,6 @@ object SparkEntry {
     Round5gQueries.oracle ++
     Round5hQueries.oracle ++
     Round5iQueries.oracle ++
-    Round5jQueries.oracle
+    Round5jQueries.oracle ++
+    Round5kQueries.oracle
 }
