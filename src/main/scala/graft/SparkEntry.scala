@@ -42,7 +42,8 @@ object SparkEntry {
     Round5hQueries.queries ++
     Round5iQueries.queries ++
     Round5jQueries.queries ++
-    Round5kQueries.queries
+    Round5kQueries.queries ++
+    Round5lQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -69,5 +70,6 @@ object SparkEntry {
     Round5hQueries.oracle ++
     Round5iQueries.oracle ++
     Round5jQueries.oracle ++
-    Round5kQueries.oracle
+    Round5kQueries.oracle ++
+    Round5lQueries.oracle
 }
