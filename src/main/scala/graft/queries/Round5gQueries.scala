@@ -66,18 +66,23 @@ object Round5gQueries {
               col("da").as("dd"), col("a").as("di"))).as("o"))
         .select(col("o.src").as("src"), col("o.dst").as("dst"),
           col("o.dd").as("dd"), col("o.di").as("di"))
-      // wedges at the low-degree apex: ordered pairs of out-neighbors;
-      // the closing edge (v, w) is oriented v→w by construction because
-      // the wedge pair is emitted in (degree, id) order.
-      val wedgePairs = oriented.as("p").join(oriented.as("q"),
-          col("p.src") === col("q.src") &&
-            (struct(col("p.dd"), col("p.di")) <
-              struct(col("q.dd"), col("q.di"))))
-        .select(col("p.dst").as("v"), col("q.dst").as("w"))
-      val triangles = wedgePairs.join(oriented,
-          wedgePairs("v") === oriented("src") &&
-            wedgePairs("w") === oriented("dst"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
+      // triangle closing via adjacency intersection (edge-iterator):
+      // for each oriented edge (u,v), triangles with apex u are the
+      // common OUT-neighbors |N⁺(u) ∩ N⁺(v)| — u→v given, u→w and v→w
+      // from the lists. This never materializes the wedge set as rows
+      // (Σ outdeg² — 41M at sf0.1, 34× the edge count): the intersect
+      // runs inside one expression over the 1.2M edge rows, and the
+      // out-lists are O(√m)-bounded per node by the orientation (max
+      // out-degree 97 here), so each array payload stays small.
+      val adjOut = oriented.groupBy(col("src").as("u"))
+        .agg(collect_list(col("dst")).as("nbrs"))
+      val triangles = oriented
+        .join(adjOut, col("src") === col("u"))
+        .join(adjOut.select(col("u").as("u2"), col("nbrs").as("nbrs2")),
+          col("dst") === col("u2"), "left") // sink nodes have no out-list
+        .select(size(array_intersect(col("nbrs"),
+          coalesce(col("nbrs2"), array().cast("array<bigint>")))).as("c"))
+        .agg(sum(col("c")).cast("long").as("n_triangles"))
       val stats = deg.agg(
         count(lit(1)).as("n_nodes"),
         (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
