@@ -43,7 +43,8 @@ object SparkEntry {
     Round5iQueries.queries ++
     Round5jQueries.queries ++
     Round5kQueries.queries ++
-    Round5lQueries.queries
+    Round5lQueries.queries ++
+    Round5mQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -71,5 +72,6 @@ object SparkEntry {
     Round5iQueries.oracle ++
     Round5jQueries.oracle ++
     Round5kQueries.oracle ++
-    Round5lQueries.oracle
+    Round5lQueries.oracle ++
+    Round5mQueries.oracle
 }
