@@ -34,7 +34,7 @@ class GraftScanBuilder(options: GraftSinkOptions, executorKind: String,
     schema: StructType) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN with SupportsPushDownOffset {
 
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expr,
     NamedReference, SortOrder => V2SortOrder, SortDirection, NullOrdering}
@@ -44,6 +44,7 @@ class GraftScanBuilder(options: GraftSinkOptions, executorKind: String,
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[PushedAgg] = None
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   private var topN: Seq[OrderSpec] = Seq.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -135,6 +136,16 @@ class GraftScanBuilder(options: GraftSinkOptions, executorKind: String,
   // Spark re-applies the global limit/sort over the per-partition rows.
   override def isPartiallyPushed(): Boolean = true
 
+  /** OFFSET pushdown has no partial form — the source must skip exactly
+    * N rows GLOBALLY, which is only sound when one partition serves the
+    * whole scan: the non-write-local JDBC path (a single coordinator
+    * SELECT). Multi-partition scans (memory endpoint, shard-local reads)
+    * refuse and Spark keeps its own offset.
+    */
+  override def pushOffset(o: Int): Boolean =
+    if (executorKind == "memory" || options.writeLocal) false
+    else { offset = Some(o); true }
+
   /** ORDER BY + LIMIT pushdown for the JDBC path only (the server does
     * the bounded sort; Spark re-sorts the ≤N·shards survivors). The
     * memory endpoint rejects: its buffered rows are returned unsorted
@@ -155,7 +166,7 @@ class GraftScanBuilder(options: GraftSinkOptions, executorKind: String,
 
   override def build(): Scan =
     new GraftScan(options, executorKind, schema, required, pushed,
-      agg, limit, topN)
+      agg, limit, topN, offset)
 }
 
 /** One translated aggregate: kind ∈ count/min/max/sum, the source column
@@ -176,7 +187,7 @@ case class OrderSpec(col: String, asc: Boolean, nullsFirst: Boolean)
 class GraftScan(options: GraftSinkOptions, executorKind: String,
     fullSchema: StructType, required: StructType, pushed: Array[Filter],
     agg: Option[PushedAgg] = None, limit: Option[Int] = None,
-    topN: Seq[OrderSpec] = Seq.empty)
+    topN: Seq[OrderSpec] = Seq.empty, offset: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
@@ -191,6 +202,7 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
         s"PushedGroupBy: [${a.groupCols.map(_.name).mkString(", ")}], ")
         .getOrElse("") +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
+      offset.map(o => s"PushedOffset: $o, ").getOrElse("") +
       (if (topN.nonEmpty) s"PushedTopN: [${topN.map(o =>
         s"${o.col} ${if (o.asc) "ASC" else "DESC"}").mkString(", ")}], "
        else "") +
@@ -247,7 +259,8 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
       else topN.map(o => s"${q(o.col)} ${if (o.asc) "ASC" else "DESC"} " +
         s"NULLS ${if (o.nullsFirst) "FIRST" else "LAST"}")
         .mkString(" ORDER BY ", ", ", "")
-    base + order + limit.map(l => s" LIMIT $l").getOrElse("")
+    base + order + limit.map(l => s" LIMIT $l").getOrElse("") +
+      offset.map(o => s" OFFSET $o").getOrElse("")
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -107,6 +107,27 @@ class Dsv2PushdownSpec extends AnyFunSuite with SparkSuite {
     assert(df.collect().map(_.getLong(1)).sum == 20L)
   }
 
+  test("offset refuses multi-partition scans; results stay exact") {
+    MemorySinkRegistry.clear()
+    writeSample("t_off")
+    val df = readBack("t_off").orderBy("id").offset(5).limit(3)
+    // the memory endpoint is multi-partition: a per-partition offset
+    // would drop too many rows, so the builder must refuse the push
+    assert(!scanOf(df).description().contains("PushedOffset"),
+      scanOf(df).description())
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(6L, 7L, 8L))
+  }
+
+  test("offset renders on the single-coordinator JDBC SQL") {
+    val opts = GraftSinkOptions.fromMap(Map(
+      "url" -> "clickhouse://host:8123", "table-name" -> "t"))
+    val scan = new GraftScan(opts, "jdbc", schema,
+      StructType(schema.fields.take(1)), Array.empty, None, Some(10),
+      Seq(OrderSpec("id", asc = true, nullsFirst = true)), Some(20))
+    assert(scan.sql.endsWith(
+      "ORDER BY `id` ASC NULLS FIRST LIMIT 10 OFFSET 20"), scan.sql)
+  }
+
   test("JDBC scan SQL renders aggregate, top-N and limit") {
     val opts = GraftSinkOptions.fromMap(Map(
       "url" -> "clickhouse://host:8123", "table-name" -> "t"))
