@@ -44,7 +44,8 @@ object SparkEntry {
     Round5jQueries.queries ++
     Round5kQueries.queries ++
     Round5lQueries.queries ++
-    Round5mQueries.queries
+    Round5mQueries.queries ++
+    Round5nQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -73,5 +74,6 @@ object SparkEntry {
     Round5jQueries.oracle ++
     Round5kQueries.oracle ++
     Round5lQueries.oracle ++
-    Round5mQueries.oracle
+    Round5mQueries.oracle ++
+    Round5nQueries.oracle
 }
