@@ -45,7 +45,8 @@ object SparkEntry {
     Round5kQueries.queries ++
     Round5lQueries.queries ++
     Round5mQueries.queries ++
-    Round5nQueries.queries
+    Round5nQueries.queries ++
+    Round5oQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -75,5 +76,6 @@ object SparkEntry {
     Round5kQueries.oracle ++
     Round5lQueries.oracle ++
     Round5mQueries.oracle ++
-    Round5nQueries.oracle
+    Round5nQueries.oracle ++
+    Round5oQueries.oracle
 }
