@@ -43,7 +43,16 @@ object Round5oQueries {
     // aggregate + two semi joins on the shrinking edge set.
     "q_kcore_peel" -> ((s, dir) => {
       val k = 50
+      // Each round reads the previous round's edges THREE times (degree
+      // aggregate + two semi joins), so an unpersisted chain recomputes
+      // the base co-purchase join 3^rounds times — 27× here, and the
+      // resulting mega-plan degraded every later query in the r5 sweep.
+      // Persist each level instead; Bench/Verify clearCache() between
+      // queries bounds the blocks' lifetime to this query (the r4
+      // bpe_merge_step lesson, applied).
+      import org.apache.spark.storage.StorageLevel
       var edges = coEdges(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val rounds = (1 to 3).map { round =>
         val deg = edges.select(col("a").as("v"))
           .unionAll(edges.select(col("b").as("v")))
@@ -52,6 +61,7 @@ object Round5oQueries {
         edges = edges
           .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val stats = edges.agg(count(lit(1)).as("n_edges"))
         val nodes = edges.select(col("a").as("v"))
           .unionAll(edges.select(col("b").as("v"))).distinct()
@@ -73,11 +83,18 @@ object Round5oQueries {
     // the distinct (custkey, partkey) purchase pairs — one shuffle to
     // build, re-used across the four half-steps.
     "q_hits_bipartite" -> ((s, dir) => {
+      // each half-step reads its raw-score subtree twice (the scores
+      // and their max), so an unpersisted 4-half-step chain doubles the
+      // lineage each step — persist the edge set and each raw-score
+      // level (same reasoning as q_kcore_peel; clearCache between
+      // queries bounds the blocks to this query)
+      import org.apache.spark.storage.StorageLevel
       val edges = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // hub = 1000 for every customer initially
       var hubs = edges.select("c").distinct()
         .withColumn("h", lit(1000L))
@@ -85,12 +102,14 @@ object Round5oQueries {
       for (_ <- 1 to 2) {
         val rawA = edges.join(hubs, "c")
           .groupBy("p").agg(sum("h").as("ra"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val maxA = rawA.agg(max("ra").as("ma"))
         auths = rawA.join(broadcast(maxA))
           .select(col("p"), call_function("div",
             col("ra") * 1000L, col("ma")).as("a"))
         val rawH = edges.join(auths, "p")
           .groupBy("c").agg(sum("a").as("rh"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val maxH = rawH.agg(max("rh").as("mh"))
         hubs = rawH.join(broadcast(maxH))
           .select(col("c"), call_function("div",
