@@ -46,7 +46,9 @@ object SparkEntry {
     Round5lQueries.queries ++
     Round5mQueries.queries ++
     Round5nQueries.queries ++
-    Round5oQueries.queries
+    Round5oQueries.queries ++
+    Round5pQueries.queries ++
+    Round5qQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -77,5 +79,7 @@ object SparkEntry {
     Round5lQueries.oracle ++
     Round5mQueries.oracle ++
     Round5nQueries.oracle ++
-    Round5oQueries.oracle
+    Round5oQueries.oracle ++
+    Round5pQueries.oracle ++
+    Round5qQueries.oracle
 }
