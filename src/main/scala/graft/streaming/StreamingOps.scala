@@ -25,6 +25,9 @@ case class TimedChange(key: Long, op: String, value: Double,
 /** Live collapsing net state for one key. */
 case class NetState(key: Long, net: Long)
 
+/** One emitted high-watermark alert (prevMax None on the first alert). */
+case class Alert(key: Long, value: Double, prevMax: Option[Double])
+
 object StreamingOps {
 
   /** Changelog op -> collapsing sign (R10): I/+U add, -U/D retract —
@@ -216,6 +219,47 @@ object StreamingOps {
       }
   }
 
+  /** High-watermark alerting on the Spark-4 transformWithState API
+    * (the arbitrary-state v2 operator): per key, emit an alert when a
+    * reading exceeds the running maximum by at least `delta` — the
+    * debounced threshold-crossing detector behind rate/limit alerts.
+    * State is ONE double per key in a named ValueState, checkpointed
+    * by the RocksDB state store (the provider transformWithState
+    * requires); the running max advances on every reading, alerted or
+    * not, so a slow creep never re-alerts but a genuine jump does.
+    */
+  def highWatermarkAlerts(
+      readings: org.apache.spark.sql.Dataset[ChangeRecord], delta: Double)
+      : org.apache.spark.sql.Dataset[Alert] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = readings.sparkSession
+    import spark.implicits._
+    readings.groupByKey(_.key)
+      .transformWithState(new HighWatermarkProcessor(delta),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** expiringNetState re-expressed on transformWithState: per-key
+    * running net released ONCE by an explicit event-time timer when the
+    * watermark passes last-event-time + gap — the v2 replica of the
+    * flatMapGroupsWithState timer contract above (same re-arm-from-max
+    * rule), showing the explicit registerTimer/handleExpiredTimer
+    * protocol instead of GroupStateTimeout.
+    */
+  def expiringNetStateV2(
+      changelog: org.apache.spark.sql.Dataset[TimedChange], gapMs: Long)
+      : org.apache.spark.sql.Dataset[NetState] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = changelog.sparkSession
+    import spark.implicits._
+    changelog
+      .withWatermark("ts", s"$gapMs milliseconds")
+      .as[TimedChange]
+      .groupByKey(_.key)
+      .transformWithState(new SessionNetProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** stream_update_sink: session-window event counts per user emitted in
     * update mode — the retract/upsert-producing aggregation shape the
     * reference's README feeds into the sink (README.md:6-11).
@@ -228,4 +272,88 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("n_events"))
+}
+
+/** transformWithState processor for highWatermarkAlerts: a named
+  * ValueState holds the per-key running max; rows iterate in batch
+  * order, alerting on jumps ≥ delta over the last known max.
+  */
+class HighWatermarkProcessor(delta: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, ChangeRecord, Alert] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+
+  @transient private var maxSeen: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    maxSeen = getHandle.getValueState[Double](
+      "maxSeen", Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[ChangeRecord],
+      timerValues: TimerValues): Iterator[Alert] = {
+    val out = Seq.newBuilder[Alert]
+    rows.foreach { r =>
+      if (!maxSeen.exists()) {
+        out += Alert(key, r.value, None) // first reading establishes the baseline
+        maxSeen.update(r.value)
+      } else {
+        val prev = maxSeen.get()
+        if (r.value >= prev + delta) out += Alert(key, r.value, Some(prev))
+        if (r.value > prev) maxSeen.update(r.value)
+      }
+    }
+    out.result().iterator
+  }
+}
+
+/** transformWithState processor for expiringNetStateV2: net and
+  * max-event-time in two ValueStates; ONE event-time timer per key,
+  * always re-armed from the max ts seen (the same rule as
+  * expiringNetState — re-arming from the current batch alone would let
+  * an out-of-order record fire the session early). The expired-timer
+  * callback releases the final net exactly once and clears the state.
+  */
+class SessionNetProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, TimedChange, NetState] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+
+  @transient private var net: ValueState[Long] = _
+  @transient private var maxTs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    net = getHandle.getValueState[Long](
+      "net", Encoders.scalaLong, TTLConfig.NONE)
+    maxTs = getHandle.getValueState[Long](
+      "maxTs", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TimedChange],
+      timerValues: TimerValues): Iterator[NetState] = {
+    var delta = 0L
+    var batchMax = 0L
+    rows.foreach { r =>
+      delta += StreamingOps.opSign(r.op)
+      batchMax = math.max(batchMax, r.ts.getTime)
+    }
+    val net0 = if (net.exists()) net.get() else 0L
+    val max0 = if (maxTs.exists()) maxTs.get() else 0L
+    val maxNow = math.max(max0, batchMax)
+    net.update(net0 + delta)
+    maxTs.update(maxNow)
+    // exactly one armed timer per key: drop any stale one, re-arm at
+    // last-event-time + gap
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer(maxNow + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[NetState] = {
+    val finalNet = if (net.exists()) net.get() else 0L
+    net.clear(); maxTs.clear()
+    Iterator.single(NetState(key, finalNet))
+  }
 }

@@ -312,4 +312,63 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .orderBy("session_start").collect().map(_.getLong(2))
     assert(sessions.take(2).toSeq == Seq(2L, 1L))
   }
+
+  /** transformWithState requires the RocksDB state store; scope the
+    * provider override to one test so the rest of the suite keeps the
+    * default HDFS-backed provider.
+    */
+  private def withRocksDb(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState: high-watermark alerts debounce small creep") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[ChangeRecord]
+      val alerts = StreamingOps.highWatermarkAlerts(mem.toDS(), delta = 5.0)
+      runToMemory(alerts.toDF(), "hwm_out", "update")(
+        () => mem.addData(ChangeRecord(1, "I", 10.0)),  // baseline -> alert
+        () => mem.addData(ChangeRecord(1, "I", 12.0)),  // creep: no alert
+        () => mem.addData(ChangeRecord(1, "I", 17.0)),  // 12 -> 17: alert
+        () => mem.addData(ChangeRecord(1, "I", 18.0)),  // creep: no alert
+        () => mem.addData(ChangeRecord(2, "I", 1.0)))   // new key baseline
+      val got = spark.table("hwm_out")
+        .orderBy("key", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      assert(got.toSeq == Seq(
+        (1L, 10.0, None), (1L, 17.0, Some(12.0)), (2L, 1.0, None)))
+    }
+  }
+
+  test("transformWithState: event-time timer releases the final net (v2)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[TimedChange]
+      val net = StreamingOps.expiringNetStateV2(mem.toDS(), gapMs = 5 * 60000)
+      runToMemory(net.toDF(), "expire_v2_out", "append")(
+        () => mem.addData(TimedChange(1, "I", 1.0, ts(0)),
+          TimedChange(1, "+U", 1.0, ts(1)),
+          TimedChange(2, "I", 5.0, ts(1)),
+          TimedChange(2, "D", 5.0, ts(2))),
+        // watermark far past both keys' timers -> both expire
+        () => mem.addData(TimedChange(9, "I", 0.0, ts(59))),
+        // one more batch so the timers fire on the advanced watermark
+        () => mem.addData(TimedChange(9, "I", 0.0, ts(59))))
+      val got = spark.table("expire_v2_out").orderBy("key")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // finals exactly once per expired key, same as the v1 operator
+      assert(got.toSeq == Seq((1L, 2L), (2L, 0L)))
+    }
+  }
 }
