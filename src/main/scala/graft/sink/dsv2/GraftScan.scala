@@ -188,7 +188,34 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
     fullSchema: StructType, required: StructType, pushed: Array[Filter],
     agg: Option[PushedAgg] = None, limit: Option[Int] = None,
     topN: Seq[OrderSpec] = Seq.empty, offset: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  /** Runtime (join-derived) WHERE clauses, rendered at filter() time.
+    * Runtime filtering is bandwidth-only by protocol: Spark derives
+    * these predicates from a join whose own evaluation re-drops any
+    * row the filter would have — so an unrenderable predicate is
+    * silently skipped (scan stays a superset) and a rendered one only
+    * narrows the server-side SELECT.
+    */
+  private var runtime: Array[String] = Array.empty
+
+  /** Every projected column is fair game for a runtime filter — the
+    * renderer decides per-predicate whether the literal shape
+    * translates (same conservative contract as FilterSql).
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    required.fieldNames.map(Expressions.column)
+
+  /** Invoked by Spark AFTER planning, BEFORE planInputPartitions: the
+    * dynamic-pruning subquery's values arrive as v2 predicates
+    * (typically col IN (v1, …, vn) from the join's build side) and
+    * narrow the generated SQL of every partition.
+    */
+  override def filter(predicates: Array[V2Predicate]): Unit =
+    runtime = predicates.flatMap(V2PredicateSql.render)
 
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
 
@@ -201,6 +228,8 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
         s"${f.kind.toUpperCase}(${f.col.getOrElse("*")})").mkString(", ")}], " +
         s"PushedGroupBy: [${a.groupCols.map(_.name).mkString(", ")}], ")
         .getOrElse("") +
+      (if (runtime.nonEmpty)
+        s"PushedRuntimeFilters: [${runtime.mkString(", ")}], " else "") +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
       offset.map(o => s"PushedOffset: $o, ").getOrElse("") +
       (if (topN.nonEmpty) s"PushedTopN: [${topN.map(o =>
@@ -235,13 +264,14 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
     */
   private[dsv2] def sql: String = {
     val q = StatementFactory.quoteIdentifier _
+    val allFilters = pushed.flatMap(FilterSql.render) ++ runtime
     val base = agg match {
       case Some(a) =>
         val cols = a.groupCols.map(f => q(f.name)) ++ a.funcs.map { f =>
           val arg = f.col.map(q).getOrElse("*")
           s"${f.kind}($arg)"
         }
-        val where = pushed.flatMap(FilterSql.render) match {
+        val where = allFilters match {
           case Array() => ""
           case fs => fs.mkString(" WHERE (", ") AND (", ")")
         }
@@ -252,7 +282,7 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
           where + group
       case None =>
         StatementFactory.select(options.tableName,
-          required.fieldNames.toSeq, pushed.flatMap(FilterSql.render).toSeq)
+          required.fieldNames.toSeq, allFilters.toSeq)
     }
     val order =
       if (topN.isEmpty) ""
@@ -569,6 +599,103 @@ class GraftJdbcReader(url: String, sql: String, required: StructType,
   override def close(): Unit = if (opened) {
     try rs.close() catch { case _: Throwable => () }
     try conn.close() catch { case _: Throwable => () }
+  }
+}
+
+/** Renders connector v2 predicates (the runtime-filtering shapes Spark
+  * pushes through SupportsRuntimeV2Filtering — IN over join-build-side
+  * values, plus the comparison/null/boolean algebra) to
+  * ClickHouse-compatible SQL. None for anything that doesn't translate:
+  * a skipped runtime filter only widens the scan back to what the join
+  * already handles. Literal values arrive in CATALYST form (UTF8String
+  * for strings, Decimal for decimals, Int days / Long micros for
+  * temporals) — temporals stay unrendered for the same timezone reason
+  * as FilterSql.
+  */
+object V2PredicateSql {
+
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr,
+    Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  private def q(attr: String): String =
+    StatementFactory.quoteIdentifier(attr)
+
+  private def colSql(e: V2Expr): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(q(nr.fieldNames.head))
+    case _ => None
+  }
+
+  private def litSql(e: V2Expr): Option[String] = e match {
+    case l: V2Literal[_] => (l.value, l.dataType) match {
+      case (null, _) => None
+      case (v, StringType) => Some("'" + v.toString.replace("\\", "\\\\")
+        .replace("'", "\\'") + "'")
+      case (v: java.lang.Boolean, BooleanType) =>
+        Some(if (v) "1" else "0")
+      case (v: java.lang.Float, FloatType)
+        if java.lang.Float.isFinite(v) => Some(v.toString)
+      case (v: java.lang.Double, DoubleType)
+        if java.lang.Double.isFinite(v) => Some(v.toString)
+      case (v: Decimal, _: DecimalType) =>
+        Some(v.toJavaBigDecimal.toPlainString)
+      case (v, ByteType | ShortType | IntegerType | LongType) =>
+        Some(v.toString)
+      case _ => None // temporals/binary/arrays stay unsent
+    }
+    case _ => None
+  }
+
+  private def sub(e: V2Expr): Option[String] = e match {
+    case p: V2Predicate => render(p)
+    case _ => None
+  }
+
+  def render(p: V2Predicate): Option[String] = p.name match {
+    case "IN" => p.children() match {
+      case ch if ch.length >= 2 =>
+        val ls = ch.tail.map(litSql)
+        for {
+          c <- colSql(ch.head)
+          if ls.forall(_.isDefined)
+        } yield s"$c IN (${ls.flatten.mkString(", ")})"
+      case _ => None
+    }
+    case op @ ("=" | "<" | "<=" | ">" | ">=") => p.children() match {
+      case Array(a, b) =>
+        for (c <- colSql(a); l <- litSql(b)) yield s"$c $op $l"
+      case _ => None
+    }
+    // null-safe equal against a non-null literal is plain equality
+    case "<=>" => p.children() match {
+      case Array(a, b) =>
+        for (c <- colSql(a); l <- litSql(b)) yield s"$c = $l"
+      case _ => None
+    }
+    case "IS_NULL" => p.children() match {
+      case Array(a) => colSql(a).map(c => s"$c IS NULL")
+      case _ => None
+    }
+    case "IS_NOT_NULL" => p.children() match {
+      case Array(a) => colSql(a).map(c => s"$c IS NOT NULL")
+      case _ => None
+    }
+    case "AND" => p.children() match {
+      case Array(a, b) =>
+        for (l <- sub(a); r <- sub(b)) yield s"($l) AND ($r)"
+      case _ => None
+    }
+    case "OR" => p.children() match {
+      case Array(a, b) =>
+        for (l <- sub(a); r <- sub(b)) yield s"($l) OR ($r)"
+      case _ => None
+    }
+    case "NOT" => p.children() match {
+      case Array(a) => sub(a).map(s => s"NOT ($s)")
+      case _ => None
+    }
+    case _ => None
   }
 }
 

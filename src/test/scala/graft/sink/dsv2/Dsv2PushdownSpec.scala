@@ -146,4 +146,64 @@ class Dsv2PushdownSpec extends AnyFunSuite with SparkSuite {
     assert(topScan.sql.endsWith(
       "ORDER BY `score` DESC NULLS LAST LIMIT 5"), topScan.sql)
   }
+
+  // --- SupportsRuntimeV2Filtering: join-derived predicates narrow the
+  // generated SELECT (bandwidth-only; skipped shapes stay a superset) ---
+
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr,
+    Expressions, Literal => V2Literal}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Spark's own LiteralValue is private[sql]; runtime predicates reach
+    * the scan through the public Literal interface, so the test speaks
+    * the same contract.
+    */
+  private case class Lit[T](value: T, dataType: DataType)
+      extends V2Literal[T]
+
+  private def jdbcScan(pushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array.empty) = {
+    val opts = GraftSinkOptions.fromMap(Map(
+      "url" -> "clickhouse://host:8123", "table-name" -> "t"))
+    new GraftScan(opts, "jdbc", schema, schema, pushed)
+  }
+
+  test("runtime IN filter narrows the JDBC SQL next to static pushdown") {
+    val scan = jdbcScan(
+      Array(org.apache.spark.sql.sources.GreaterThan("score", 1.5)))
+    assert(scan.filterAttributes().map(_.describe()).toSeq ==
+      Seq("id", "grp", "score"))
+    scan.filter(Array(new V2Predicate("IN", Array[V2Expr](
+      Expressions.column("id"),
+      Lit(1L, LongType), Lit(3L, LongType)))))
+    assert(scan.sql.contains("`id` IN (1, 3)"), scan.sql)
+    assert(scan.sql.contains("`score` > 1.5"), scan.sql)
+    assert(scan.description().contains(
+      "PushedRuntimeFilters: [`id` IN (1, 3)]"), scan.description())
+  }
+
+  test("runtime filters render strings/equality/boolean algebra") {
+    val scan = jdbcScan()
+    val eqGrp = new V2Predicate("=", Array[V2Expr](
+      Expressions.column("grp"),
+      Lit(UTF8String.fromString("g'1"), StringType)))
+    val gtId = new V2Predicate(">", Array[V2Expr](
+      Expressions.column("id"), Lit(7L, LongType)))
+    scan.filter(Array(new V2Predicate("AND", Array[V2Expr](eqGrp, gtId))))
+    assert(scan.sql.contains("(`grp` = 'g\\'1') AND (`id` > 7)"), scan.sql)
+  }
+
+  test("unrenderable runtime predicates are skipped, not fatal") {
+    val scan = jdbcScan()
+    // temporal literals don't render (timezone hazard), nested column
+    // references don't resolve — both must be dropped silently
+    scan.filter(Array(
+      new V2Predicate("IN", Array[V2Expr](
+        Expressions.column("id"), Lit(0L, TimestampType))),
+      new V2Predicate("=", Array[V2Expr](
+        Expressions.column("nested.field"), Lit(1L, LongType)))))
+    assert(!scan.sql.contains("WHERE"), scan.sql)
+    assert(!scan.description().contains("PushedRuntimeFilters"))
+  }
 }
