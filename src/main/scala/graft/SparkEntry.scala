@@ -48,7 +48,8 @@ object SparkEntry {
     Round5nQueries.queries ++
     Round5oQueries.queries ++
     Round5pQueries.queries ++
-    Round5qQueries.queries
+    Round5qQueries.queries ++
+    Round5rQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -81,5 +82,6 @@ object SparkEntry {
     Round5nQueries.oracle ++
     Round5oQueries.oracle ++
     Round5pQueries.oracle ++
-    Round5qQueries.oracle
+    Round5qQueries.oracle ++
+    Round5rQueries.oracle
 }

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5r batch: sequential-model analytics and scale-pattern joins —
+  * the ops that need an ORDERED fold (exponential smoothing, CUSUM)
+  * rather than a commutative aggregate, plus the experimentation and
+  * link-prediction primitives and the null-skew join routing pattern.
+  *
+  *  - q_holt_linear: Holt's linear exponential smoothing over daily
+  *    event counts, one-step-ahead forecast per event type
+  *  - q_cusum_drift: CUSUM drift statistic over the daily volume
+  *    (upward change detection, all-integer arithmetic)
+  *  - q_ab_test_z: two-proportion z-score between deterministic A/B
+  *    user splits (purchase conversion)
+  *  - q_jaccard_neighbors: common-neighbor / Jaccard link prediction
+  *    over the co-purchase graph (wedge counting, no array intersects)
+  *  - q_null_skew_join: LEFT JOIN with null foreign keys routed AROUND
+  *    the shuffle (the at-scale null-skew mitigation), semantics
+  *    identical to the plain left join the oracle runs
+  *
+  * Determinism: sequential folds run over array_sort'ed (day, value)
+  * lists — the summation/recursion order is written in the plan, not
+  * scheduler-dependent; smoothing constants are exact binary fractions
+  * (0.5, 0.25, 0.75); sqrt is IEEE-exact in both engines; divisions
+  * mirrored 1:1.
+  */
+object Round5rQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    graft.Tables(s, dir, n)
+
+  /** Daily (epoch-day, count) series per event_type — shared input of
+    * the two sequential models.
+    */
+  private def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        call_function("div", unix_micros(col("ts")), lit(86400000000L))
+          .as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Holt's linear method (α = 1/2, β = 1/4 — exact binary
+    // fractions) over each event type's daily count series:
+    //   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    //   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    // seeded l_1 = x_1, b_1 = 0; forecast = l_T + b_T. The recursion
+    // is inherently ordered, so it folds over the day-SORTED list —
+    // l_t is inlined twice (in l and in b) so the Spark lambda and the
+    // DuckDB list_reduce execute the SAME double ops in the SAME
+    // order. Series are short (days), one per group — the fold is a
+    // per-group scalar loop, not a distributed op.
+    "q_holt_linear" -> ((s, dir) => {
+      def l(acc: Column, x: Column): Column =
+        lit(0.5) * x + lit(0.5) * (acc.getField("l") + acc.getField("b"))
+      dailyCounts(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          array_sort(collect_list(struct(col("day"), col("cnt"))))
+            .as("series"))
+        .withColumn("fit", aggregate(
+          expr("slice(series, 2, size(series) - 1)"),
+          struct(
+            element_at(col("series"), 1).getField("cnt").cast("double")
+              .as("l"),
+            lit(0.0).as("b")),
+          (acc, e) => {
+            val x = e.getField("cnt").cast("double")
+            struct(
+              l(acc, x).as("l"),
+              (lit(0.25) * (l(acc, x) - acc.getField("l")) +
+                lit(0.75) * acc.getField("b")).as("b"))
+          }))
+        .select(col("event_type"), col("n_days"),
+          col("fit.l").as("level"), col("fit.b").as("trend"),
+          (col("fit.l") + col("fit.b")).as("forecast_next"))
+        .orderBy("event_type")
+    }),
+
+    // CUSUM upward-drift statistic over the TOTAL daily volume:
+    // S_t = max(0, S_{t−1} + x_t − target), target = mean daily count
+    // rounded down (integer `div`, so the whole path stays in exact
+    // longs). Tracks the running and maximum excursion — the
+    // change-detection audit behind "did ingestion volume drift?".
+    // One tiny day-count aggregate, one 1-row fold.
+    "q_cusum_drift" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(call_function("div", unix_micros(col("ts")),
+          lit(86400000000L)).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+      daily.agg(count(lit(1)).as("n_days"),
+          sum("cnt").as("total"),
+          array_sort(collect_list(struct(col("day"), col("cnt"))))
+            .as("series"))
+        .withColumn("target",
+          call_function("div", col("total"), col("n_days")))
+        .withColumn("walk", aggregate(
+          col("series"),
+          struct(lit(0L).as("s"), lit(0L).as("smax")),
+          (acc, e) => {
+            val next = greatest(lit(0L),
+              acc.getField("s") + e.getField("cnt") - col("target"))
+            struct(next.as("s"),
+              greatest(acc.getField("smax"), next).as("smax"))
+          }))
+        .select(col("n_days"), col("target"),
+          col("walk.s").as("cusum_final"),
+          col("walk.smax").as("cusum_max"))
+    }),
+
+    // Two-proportion z-test between the deterministic A/B user split
+    // (md5 first hex digit < '8' → A): conversion = the user has at
+    // least one purchase event. z = (pA − pB) / sqrt(pp(1−pp)(1/nA +
+    // 1/nB)) with the pooled pp — sqrt is correctly rounded IEEE in
+    // both engines, every division mirrored. Two tiny aggregates.
+    "q_ab_test_z" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max((col("event_type") === "purchase").cast("long"))
+          .as("converted"))
+        .withColumn("grp",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "a").otherwise("b"))
+      val wide = users.groupBy()
+        .pivot("grp", Seq("a", "b"))
+        .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+        .select(col("a_n").as("n_a"), col("a_conv").as("conv_a"),
+          col("b_n").as("n_b"), col("b_conv").as("conv_b"))
+      val pa = col("conv_a").cast("double") / col("n_a")
+      val pb = col("conv_b").cast("double") / col("n_b")
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      // z is undefined when everyone (or no one) converts: the pooled
+      // variance is 0 — emit NULL instead of dividing by zero (ANSI)
+      val defined = col("conv_a") + col("conv_b") > 0 &&
+        col("conv_a") + col("conv_b") < col("n_a") + col("n_b")
+      wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        pa.as("p_a"), pb.as("p_b"),
+        when(defined, (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+          .as("z"))
+    }),
+
+    // Link prediction by common-neighbor counting: for part pairs at
+    // distance 2 in the co-purchase graph that are NOT already edges,
+    // Jaccard = common / (deg(a) + deg(b) − common); top-20. Common
+    // neighbors come from counting WEDGES (adj ⋈ adj on the middle
+    // vertex) — a join + aggregate, never materializing neighbor
+    // arrays — then an anti join removes existing edges and two
+    // broadcast-friendly degree joins finish the score. The join keys
+    // are vertex ids (high cardinality) — the shape scales.
+    "q_jaccard_neighbors" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val adj = pairs
+        .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("a", "v")
+      // wedges u−m−w with u < w: common-neighbor count per candidate
+      val wedges = adj.as("l").join(adj.as("r"),
+          col("l.a") === col("r.a") && col("l.b") < col("r.b"))
+        .select(col("l.b").as("u"), col("r.b").as("w"))
+        .groupBy("u", "w").agg(count(lit(1)).as("common"))
+      wedges
+        .join(pairs.withColumnRenamed("a", "u")
+          .withColumnRenamed("b", "w"), Seq("u", "w"), "left_anti")
+        .join(deg.withColumnRenamed("v", "u")
+          .withColumnRenamed("deg", "deg_u"), Seq("u"))
+        .join(deg.withColumnRenamed("v", "w")
+          .withColumnRenamed("deg", "deg_w"), Seq("w"))
+        .select(col("u"), col("w"), col("common"),
+          (col("common").cast("double") /
+            (col("deg_u") + col("deg_w") - col("common")))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("w"))
+        .limit(20)
+    }),
+
+    // Null-skew routed LEFT JOIN: a nullable FK (synthesized: every
+    // 10th custkey nulled) would pile every null row into one shuffle
+    // partition at scale even though SQL says nulls never match. The
+    // at-scale pattern: join ONLY the non-null rows, then union the
+    // null-FK rows back null-padded — same result as the plain left
+    // join the oracle runs, but the nulls never enter the exchange.
+    // Aggregated to per-nation order counts to keep the check tight.
+    "q_null_skew_join" -> ((s, dir) => {
+      val d = org.apache.spark.sql.types.DecimalType(18, 2)
+      val o = t(s, dir, "orders")
+        .withColumn("fk",
+          when(col("o_custkey") % 10 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")))
+      val c = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"))
+      val matched = o.filter(col("fk").isNotNull)
+        .join(c, col("fk") === col("c_custkey"), "left")
+      val nullRouted = o.filter(col("fk").isNull)
+        .withColumn("c_custkey", lit(null).cast("long"))
+        .withColumn("c_nationkey", lit(null).cast("int"))
+      matched.unionByName(nullRouted.select(matched.columns.map(col): _*))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(d)).cast("double").as("revenue"))
+        .orderBy(asc_nulls_first("c_nationkey"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_holt_linear" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    list_sort(list(struct_pack(day := day, cnt := cnt)))
+        |      AS series
+        |  FROM c GROUP BY 1
+        |), f AS (
+        |  -- accumulator is a DOUBLE[2] list [l, b], NOT a struct:
+        |  -- DuckDB's list_reduce mutates a struct accumulator field by
+        |  -- field, so a later field would see the already-updated l —
+        |  -- list construction evaluates every element from the old acc
+        |  SELECT event_type, n_days,
+        |    list_reduce(
+        |      [[CAST(series[1].cnt AS DOUBLE), CAST(0 AS DOUBLE)]] ||
+        |      list_transform(series[2:],
+        |        e -> [CAST(e.cnt AS DOUBLE), CAST(0 AS DOUBLE)]),
+        |      (acc, v) -> [
+        |        0.5 * v[1] + 0.5 * (acc[1] + acc[2]),
+        |        0.25 * ((0.5 * v[1] + 0.5 * (acc[1] + acc[2]))
+        |                - acc[1]) + 0.75 * acc[2]]) AS fit
+        |  FROM g
+        |)
+        |SELECT event_type, n_days, fit[1] AS level, fit[2] AS trend,
+        |  fit[1] + fit[2] AS forecast_next
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    "q_cusum_drift" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), g AS (
+        |  SELECT COUNT(*) AS n_days, CAST(SUM(cnt) AS BIGINT) AS total,
+        |    list_sort(list(struct_pack(day := day, cnt := cnt)))
+        |      AS series
+        |  FROM c
+        |), w AS (
+        |  -- BIGINT[2] list accumulator [s, smax] (see q_holt_linear:
+        |  -- struct accumulators mutate field-by-field in list_reduce)
+        |  SELECT n_days, total // n_days AS target,
+        |    list_reduce(
+        |      [[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]] ||
+        |      list_transform(series,
+        |        e -> [CAST(e.cnt AS BIGINT), CAST(0 AS BIGINT)]),
+        |      (acc, v) -> [
+        |        GREATEST(CAST(0 AS BIGINT),
+        |          acc[1] + v[1] - (total // n_days)),
+        |        GREATEST(acc[2], GREATEST(CAST(0 AS BIGINT),
+        |          acc[1] + v[1] - (total // n_days)))]) AS walk
+        |  FROM g
+        |)
+        |SELECT n_days, target, walk[1] AS cusum_final,
+        |  walk[2] AS cusum_max
+        |FROM w""".stripMargin,
+
+    "q_ab_test_z" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'a' ELSE 'b' END AS grp
+        |  FROM events GROUP BY user_id
+        |), s AS (
+        |  SELECT
+        |    COUNT(*) FILTER (grp = 'a') AS n_a,
+        |    CAST(SUM(converted) FILTER (grp = 'a') AS BIGINT) AS conv_a,
+        |    COUNT(*) FILTER (grp = 'b') AS n_b,
+        |    CAST(SUM(converted) FILTER (grp = 'b') AS BIGINT) AS conv_b
+        |  FROM u
+        |)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(conv_a AS DOUBLE) / n_a AS p_a,
+        |  CAST(conv_b AS DOUBLE) / n_b AS p_b,
+        |  CASE WHEN conv_a + conv_b > 0
+        |        AND conv_a + conv_b < n_a + n_b THEN
+        |    (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+        |  END AS z
+        |FROM s""".stripMargin,
+
+    "q_jaccard_neighbors" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |), adj AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+        |), deg AS (
+        |  SELECT a AS v, COUNT(*) AS deg FROM adj GROUP BY 1
+        |), wedges AS (
+        |  SELECT l.b AS u, r.b AS w, COUNT(*) AS common
+        |  FROM adj l JOIN adj r ON l.a = r.a AND l.b < r.b
+        |  GROUP BY 1, 2
+        |)
+        |SELECT u, w, common,
+        |  CAST(common AS DOUBLE) / (du.deg + dw.deg - common) AS jaccard
+        |FROM wedges
+        |JOIN deg du ON du.v = u
+        |JOIN deg dw ON dw.v = w
+        |WHERE NOT EXISTS (SELECT 1 FROM e0
+        |  WHERE e0.a = u AND e0.b = w)
+        |ORDER BY jaccard DESC, u, w LIMIT 20""".stripMargin,
+
+    "q_null_skew_join" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL
+        |    ELSE o_custkey END AS fk, o_totalprice
+        |  FROM orders
+        |)
+        |SELECT c.c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM o LEFT JOIN customer c ON o.fk = c.c_custkey
+        |GROUP BY 1 ORDER BY c_nationkey NULLS FIRST""".stripMargin,
+  )
+}
