@@ -49,7 +49,8 @@ object SparkEntry {
     Round5oQueries.queries ++
     Round5pQueries.queries ++
     Round5qQueries.queries ++
-    Round5rQueries.queries
+    Round5rQueries.queries ++
+    Round5sQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -83,5 +84,6 @@ object SparkEntry {
     Round5oQueries.oracle ++
     Round5pQueries.oracle ++
     Round5qQueries.oracle ++
-    Round5rQueries.oracle
+    Round5rQueries.oracle ++
+    Round5sQueries.oracle
 }
