@@ -50,7 +50,8 @@ object SparkEntry {
     Round5pQueries.queries ++
     Round5qQueries.queries ++
     Round5rQueries.queries ++
-    Round5sQueries.queries
+    Round5sQueries.queries ++
+    Round5tQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -85,5 +86,6 @@ object SparkEntry {
     Round5pQueries.oracle ++
     Round5qQueries.oracle ++
     Round5rQueries.oracle ++
-    Round5sQueries.oracle
+    Round5sQueries.oracle ++
+    Round5tQueries.oracle
 }

@@ -144,14 +144,19 @@ object Round5rQueries {
           .as("z"))
     }),
 
-    // Link prediction by common-neighbor counting: for part pairs at
-    // distance 2 in the co-purchase graph that are NOT already edges,
-    // Jaccard = common / (deg(a) + deg(b) − common); top-20. Common
-    // neighbors come from counting WEDGES (adj ⋈ adj on the middle
-    // vertex) — a join + aggregate, never materializing neighbor
-    // arrays — then an anti join removes existing edges and two
-    // broadcast-friendly degree joins finish the score. The join keys
-    // are vertex ids (high cardinality) — the shape scales.
+    // Link prediction by common-neighbor counting, ANCHORED to a seed
+    // set (p_partkey % 100 == 0): for each seed u, candidate partners
+    // w at distance 2 that are not already neighbors, scored Jaccard =
+    // common / (deg(u) + deg(w) − common); top-20 corpus-wide. Common
+    // neighbors come from counting WEDGES (seed-edges ⋈ adj on the
+    // middle vertex) — never materializing neighbor arrays. The seed
+    // anchor is the at-scale design, not a shortcut: this co-purchase
+    // graph is uniformly dense (median degree ≈ mean ≈ 119 at sf0.1,
+    // no hub cap to exploit), so ALL-pairs wedge counting is Σdeg² —
+    // 298M wedges at sf0.1, quadratically worse at 100×. Seeding makes
+    // the work |seeds|·d̄², linear in the query's actual ask
+    // ("predict links for THESE nodes"), which is how production link
+    // prediction runs at scale.
     "q_jaccard_neighbors" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
       val pairs = li.as("x").join(li.as("y"),
@@ -163,13 +168,20 @@ object Round5rQueries {
         .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
         .withColumnRenamed("a", "v")
-      // wedges u−m−w with u < w: common-neighbor count per candidate
-      val wedges = adj.as("l").join(adj.as("r"),
-          col("l.a") === col("r.a") && col("l.b") < col("r.b"))
-        .select(col("l.b").as("u"), col("r.b").as("w"))
+      val seeds = t(s, dir, "part")
+        .filter(col("p_partkey") % 100 === 0)
+        .select(col("p_partkey").as("a"))
+      // u −(seed edge)− m −(any edge)− w, w ≠ u
+      val seedEdges = adj.join(seeds, Seq("a"))
+        .select(col("a").as("u"), col("b").as("m"))
+      val wedges = seedEdges.join(
+          adj.select(col("a").as("m"), col("b").as("w")), Seq("m"))
+        .filter(col("w") =!= col("u"))
         .groupBy("u", "w").agg(count(lit(1)).as("common"))
       wedges
-        .join(pairs.withColumnRenamed("a", "u")
+        // existing neighbors of u are not predictions (adj holds both
+        // directions, so one orientation check suffices)
+        .join(adj.withColumnRenamed("a", "u")
           .withColumnRenamed("b", "w"), Seq("u", "w"), "left_anti")
         .join(deg.withColumnRenamed("v", "u")
           .withColumnRenamed("deg", "deg_u"), Seq("u"))
@@ -308,9 +320,14 @@ object Round5rQueries {
         |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
         |), deg AS (
         |  SELECT a AS v, COUNT(*) AS deg FROM adj GROUP BY 1
+        |), se AS (
+        |  SELECT adj.a AS u, adj.b AS m FROM adj
+        |  JOIN part ON adj.a = part.p_partkey
+        |  WHERE part.p_partkey % 100 = 0
         |), wedges AS (
-        |  SELECT l.b AS u, r.b AS w, COUNT(*) AS common
-        |  FROM adj l JOIN adj r ON l.a = r.a AND l.b < r.b
+        |  SELECT se.u, r.b AS w, COUNT(*) AS common
+        |  FROM se JOIN adj r ON se.m = r.a
+        |  WHERE r.b <> se.u
         |  GROUP BY 1, 2
         |)
         |SELECT u, w, common,
@@ -318,8 +335,8 @@ object Round5rQueries {
         |FROM wedges
         |JOIN deg du ON du.v = u
         |JOIN deg dw ON dw.v = w
-        |WHERE NOT EXISTS (SELECT 1 FROM e0
-        |  WHERE e0.a = u AND e0.b = w)
+        |WHERE NOT EXISTS (SELECT 1 FROM adj
+        |  WHERE adj.a = u AND adj.b = w)
         |ORDER BY jaccard DESC, u, w LIMIT 20""".stripMargin,
 
     "q_null_skew_join" ->

@@ -54,7 +54,8 @@ class Round5rQueriesSpec extends AnyFunSuite with SparkSuite {
     val rows = run("q_jaccard_neighbors").collect()
     assert(rows.nonEmpty && rows.length <= 20)
     rows.foreach { r =>
-      assert(r.getLong(0) < r.getLong(1)) // u < w canonical order
+      assert(r.getLong(0) % 100 == 0) // u is a seed
+      assert(r.getLong(0) != r.getLong(1))
       val j = r.getDouble(3)
       assert(j > 0.0 && j <= 1.0)
     }
