@@ -51,7 +51,8 @@ object SparkEntry {
     Round5qQueries.queries ++
     Round5rQueries.queries ++
     Round5sQueries.queries ++
-    Round5tQueries.queries
+    Round5tQueries.queries ++
+    Round5uQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -87,5 +88,6 @@ object SparkEntry {
     Round5qQueries.oracle ++
     Round5rQueries.oracle ++
     Round5sQueries.oracle ++
-    Round5tQueries.oracle
+    Round5tQueries.oracle ++
+    Round5uQueries.oracle
 }

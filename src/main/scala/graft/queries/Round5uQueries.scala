@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5u batch: association mining, language-model tables, and the
+  * approximate-percentile surface.
+  *
+  *  - q_basket_lift: association-rule lift for co-purchased part pairs
+  *    (market-basket analysis over order baskets)
+  *  - q_ngram_lm_next: bigram next-token table — top-3 continuations
+  *    per token with conditional probability (the count side of an
+  *    n-gram LM)
+  *  - q_approx_percentile: t-digest-style approximate percentiles per
+  *    group — NO DuckDB oracle (estimates are implementation-specific);
+  *    ApproxPercentileSpec bounds it against the exact answer instead,
+  *    like q_approx_distinct/ApproxDistinctSpec
+  *
+  * Determinism: lift and probability are single mirrored divisions
+  * over exact counts; approx_percentile is deterministic for a fixed
+  * input set (driver records a rows-only check).
+  */
+object Round5uQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    graft.Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Association-rule lift over order baskets: for part pairs bought
+    // together in ≥ 3 baskets, lift = n_baskets·c(a,b) / (c(a)·c(b)) —
+    // >1 means the pair co-occurs more than independence predicts.
+    // Top-20 by (lift, a, b). The pair source is the same orderkey
+    // self-join as the co-purchase graph (join key = basket id, high
+    // cardinality); supports are broadcast-sized aggregates. The
+    // min-support cut (≥3) is what keeps the rule table meaningful AND
+    // bounded at scale — rare pairs are noise with huge lifts.
+    "q_basket_lift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val nBaskets = li.select("l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val supp = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      pairs
+        .join(supp.withColumnRenamed("l_partkey", "a")
+          .withColumnRenamed("c", "c_a"), Seq("a"))
+        .join(supp.withColumnRenamed("l_partkey", "b")
+          .withColumnRenamed("c", "c_b"), Seq("b"))
+        .crossJoin(broadcast(nBaskets))
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+          ((col("n_baskets") * col("c_ab")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // Bigram LM table: for each token, the top-3 next tokens by count
+    // with conditional probability P(next|tok) = c(tok,next)/c(tok).
+    // Adjacent-token pairs come from a doc-partitioned lead window
+    // (no self-join); the rank window partitions by the first token —
+    // vocabulary-cardinality keys, scales with the corpus.
+    "q_ngram_lm_next" -> ((s, dir) => {
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val bigrams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("tok", lower(col("tok")))
+        .filter(length(col("tok")) > 0)
+        .withColumn("next", lead(col("tok"), 1).over(byDoc))
+        .filter(col("next").isNotNull)
+        .groupBy("tok", "next").agg(count(lit(1)).as("c_pair"))
+      val toks = bigrams.groupBy("tok").agg(sum("c_pair").as("c_tok"))
+      val rk = Window.partitionBy("tok")
+        .orderBy(col("c_pair").desc, col("next"))
+      bigrams.join(toks, "tok")
+        .withColumn("rn", row_number().over(rk))
+        .filter(col("rn") <= 3)
+        .filter(col("c_tok") >= 20) // keep the table to frequent tokens (>= 20)
+        .select(col("tok"), col("next"), col("c_pair"), col("c_tok"),
+          col("rn"),
+          (col("c_pair").cast("double") / col("c_tok")).as("p_next"))
+        .orderBy("tok", "rn")
+    }),
+
+    // Approximate percentiles (p50/p90/p99 of extendedprice per
+    // returnflag) via approx_percentile — the sketch the CBO and SLA
+    // dashboards actually run at 100 TB (exact percentile sorts every
+    // group). No oracle: estimates are implementation-specific;
+    // ApproxPercentileSpec pins the accuracy-bound contract instead.
+    "q_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_basket_lift" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), nb AS (
+        |  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li
+        |), supp AS (
+        |  SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1
+        |), pairs AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS c_ab
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |)
+        |SELECT a, b, c_ab, sa.c AS c_a, sb.c AS c_b,
+        |  CAST(nb.n_baskets * c_ab AS DOUBLE)
+        |    / CAST(sa.c * sb.c AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN supp sa ON sa.l_partkey = a
+        |JOIN supp sb ON sb.l_partkey = b, nb
+        |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
+
+    "q_ngram_lm_next" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.pos, lower(u.term) AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      string_split(text, ' '),
+        |      (x, i) -> struct_pack(pos := i, term := x))) AS u
+        |    FROM documents)
+        |  WHERE length(u.term) > 0
+        |), bg AS (
+        |  SELECT tok,
+        |    LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT tok, next, COUNT(*) AS c_pair
+        |  FROM bg WHERE next IS NOT NULL GROUP BY 1, 2
+        |), tc AS (
+        |  SELECT tok, CAST(SUM(c_pair) AS BIGINT) AS c_tok
+        |  FROM pairs GROUP BY 1
+        |), rk AS (
+        |  SELECT p.tok, p.next, p.c_pair, t.c_tok,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p.tok
+        |      ORDER BY p.c_pair DESC, p.next) AS INT) AS rn
+        |  FROM pairs p JOIN tc t ON p.tok = t.tok
+        |)
+        |SELECT tok, next, c_pair, c_tok, rn,
+        |  CAST(c_pair AS DOUBLE) / c_tok AS p_next
+        |FROM rk WHERE rn <= 3 AND c_tok >= 20
+        |ORDER BY tok, rn""".stripMargin,
+  )
+}
