@@ -44,5 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // declarative aggregate(zip_with(...)) dot folds are rewritten to the
     // codegen'd VectorDotProduct — identical results, ~100x per pair
     e.injectOptimizerRule(_ => graft.plans.VectorizeDotFold)
+    // the native as-of join operator (custom LogicalPlan -> SparkPlan);
+    // AsOfJoinOps.asofJoin also self-registers via experimental methods
+    e.injectPlannerStrategy(_ => graft.operators.AsOfJoinStrategy)
   }
 }

@@ -52,7 +52,8 @@ object SparkEntry {
     Round5rQueries.queries ++
     Round5sQueries.queries ++
     Round5tQueries.queries ++
-    Round5uQueries.queries
+    Round5uQueries.queries ++
+    Round5vQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -89,5 +90,6 @@ object SparkEntry {
     Round5rQueries.oracle ++
     Round5sQueries.oracle ++
     Round5tQueries.oracle ++
-    Round5uQueries.oracle
+    Round5uQueries.oracle ++
+    Round5vQueries.oracle
 }
