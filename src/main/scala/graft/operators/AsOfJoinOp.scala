@@ -26,17 +26,23 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * scale this is two co-partitioned sorts — the same shuffle shape as a
   * sort-merge join.
   *
-  * Semantics: LEFT OUTER as-of backward — for each left row, the right
-  * row of the same key with the greatest time ≤ left time (ties broken
-  * by the caller-supplied tie-break columns, last wins); unmatched left
-  * rows null-pad the right side. Rows with null keys or null times
-  * never match (SQL equality semantics). Time columns must be
-  * long-backed (LONG / TIMESTAMP / TIMESTAMP_NTZ / INT / DATE).
+  * Semantics: LEFT OUTER as-of. direction = "backward" pairs each left
+  * row with the right row of the same key with the greatest time ≤
+  * left time (tie-break: last wins); "forward" pairs it with the
+  * smallest time ≥ left time (tie-break: first wins — the mirror
+  * convention both window rewrites use). Unmatched left rows null-pad
+  * the right side. Rows with null keys or null times never match (SQL
+  * equality semantics). Time columns must be long-backed
+  * (LONG / TIMESTAMP / TIMESTAMP_NTZ / INT / DATE).
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryNode {
+    rightTieBreak: Seq[Expression],
+    direction: String = "backward") extends BinaryNode {
+
+  require(direction == "backward" || direction == "forward",
+    s"unknown as-of direction '$direction'")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -49,8 +55,9 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 /** Plans the logical as-of node to its physical merge operator. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tb, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb,
+        dir) :: Nil
     case _ => Nil
   }
 }
@@ -58,7 +65,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryExecNode {
+    rightTieBreak: Seq[Expression],
+    direction: String = "backward") extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -106,11 +114,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         case other => throw new IllegalArgumentException(
           s"as-of time must be long-backed, got ${other.getClass}")
       }
+      val fwd = direction == "forward"
       val rBuf = rIter.buffered
       val nullRight = new GenericInternalRow(rWidth)
       val joiner = new JoinedRow
-      // the latest right row (copied — iterator rows are reused
-      // buffers) with time ≤ current left time, and the key it matched
+      // backward state: the latest right row (copied — iterator rows
+      // are reused buffers) with time ≤ current left time, + its key
       var lastMatch: InternalRow = null
       var lastMatchKey: UnsafeRow = null
       lIter.map { lrow =>
@@ -121,6 +130,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         } else {
           val lt = asLong(ltVal)
           var done = false
+          var fwdMatch: InternalRow = null
           while (!done && rBuf.hasNext) {
             val head = rBuf.head
             val rk = rKeyProj(head)
@@ -132,16 +142,27 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               else {
                 val rtVal = rTimeEval.eval(head)
                 if (rtVal == null) { rBuf.next(); () }
-                else if (asLong(rtVal) <= lt) {
+                else if (fwd) {
+                  // discard rows strictly before lt (no later left row
+                  // can need them — left times are non-decreasing);
+                  // the first survivor of this key IS the match, and
+                  // stays buffered for the next left row
+                  if (asLong(rtVal) < lt) { rBuf.next(); () }
+                  else { fwdMatch = head; done = true }
+                } else if (asLong(rtVal) <= lt) {
                   lastMatch = rBuf.next().copy()
                   lastMatchKey = rk.copy() // rk reads head's buffer
                 } else done = true
               }
             }
           }
-          val matched = lastMatchKey != null &&
-            keyOrd.compare(lastMatchKey, lk) == 0
-          joiner(lrow, if (matched) lastMatch else nullRight)
+          if (fwd) {
+            joiner(lrow, if (fwdMatch != null) fwdMatch else nullRight)
+          } else {
+            val matched = lastMatchKey != null &&
+              keyOrd.compare(lastMatchKey, lk) == 0
+            joiner(lrow, if (matched) lastMatch else nullRight)
+          }
         }
       }
     }

@@ -22,7 +22,8 @@ object AsOfJoinOps {
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = {
     require(leftKeys.length == rightKeys.length,
       "leftKeys and rightKeys must pair up")
     val spark = left.sparkSession
@@ -41,7 +42,7 @@ object AsOfJoinOps {
       rightKeys.map(res(rOut, _, "right")),
       res(lPlan.output, leftTime, "left"),
       res(rOut, rightTime, "right"),
-      rightTieBreak.map(res(rOut, _, "right")))
+      rightTieBreak.map(res(rOut, _, "right")), direction)
     GraftSqlBridge.ofRows(spark, node)
   }
 

@@ -87,6 +87,28 @@ class AsOfJoinOpSpec extends AnyFunSuite with SparkSuite {
     assert(got == Seq("second"))
   }
 
+  test("forward direction equals the window rewrite (q_asof_forward)") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("us").as("click_us"),
+        col("value").as("click_value"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("us").as("p_us"), col("value").as("p_value"))
+    val native = AsOfJoinOps.asofJoin(clicks, purchases,
+        Seq("user_id"), Seq("p_user"), "click_us", "p_us",
+        Seq("p_id"), direction = "forward")
+      .select(col("user_id"), col("event_id"), col("click_us"),
+        col("click_value"), col("p_value").as("next_purchase_value"),
+        col("p_us").as("next_purchase_us"))
+      .orderBy("user_id", "event_id").collect()
+    val window = graft.queries.Round5fQueries
+      .queries("q_asof_forward")(spark, sf0001).collect()
+    assert(native.length == window.length)
+    native.zip(window).foreach { case (n, w) =>
+      assert(n.toSeq == w.toSeq, s"native $n vs window $w")
+    }
+  }
+
   test("self-derived sides get fresh ids (no ambiguous attributes)") {
     // both sides filter the SAME DataFrame — the re-alias inside
     // asofJoin must keep the node resolvable
