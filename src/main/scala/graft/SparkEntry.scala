@@ -53,7 +53,8 @@ object SparkEntry {
     Round5sQueries.queries ++
     Round5tQueries.queries ++
     Round5uQueries.queries ++
-    Round5vQueries.queries
+    Round5vQueries.queries ++
+    Round5wQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -91,5 +92,6 @@ object SparkEntry {
     Round5sQueries.oracle ++
     Round5tQueries.oracle ++
     Round5uQueries.oracle ++
-    Round5vQueries.oracle
+    Round5vQueries.oracle ++
+    Round5wQueries.oracle
 }
