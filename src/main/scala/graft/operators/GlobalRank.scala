@@ -64,6 +64,52 @@ object GlobalRank {
       .drop(mCol, bCol, rCol, "__gr_off")
   }
 
+  /** Exact 1-based rank WITHIN each group under (metric ASC, tie ASC),
+    * with no low-cardinality-partition window: a `Window.partitionBy
+    * (group)` on a 5-value group column is the same scale-killer as the
+    * unpartitioned window — each group is one task sorting millions of
+    * rows at 100×. Same range-bucket design as [[withRank]], windows
+    * partitioned by (group, bucket); the boundary vector is GLOBAL
+    * (one approxQuantile pass) — correctness holds for ANY boundary
+    * vector, per-group boundaries would only improve balance when group
+    * distributions diverge wildly. Offsets: per-(group, bucket) counts
+    * (≤ groups·buckets rows) cumulated within group via a broadcast
+    * non-equi self-join on the bucket id.
+    */
+  def withGroupRank(df: DataFrame, groups: Seq[String], metric: Column,
+      tie: Column, rankCol: String, buckets: Int = 32): DataFrame = {
+    val mCol = "__gr_metric"
+    val bCol = "__gr_bucket"
+    val rCol = "__gr_rn"
+    val withM = df.withColumn(mCol, metric.cast("double"))
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = withM.stat.approxQuantile(mCol, probes, 0.001)
+      .distinct.sorted
+    val bucketExpr =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col(mCol) > lit(b), 1).otherwise(0))
+        .reduce(_ + _)
+    val bucketed = withM.withColumn(bCol, bucketExpr)
+    val gCols = groups.map(col)
+    val wb = Window.partitionBy(gCols :+ col(bCol): _*)
+      .orderBy(col(mCol), tie)
+    val ranked = bucketed.withColumn(rCol, row_number().over(wb))
+    val counts = bucketed.groupBy(gCols :+ col(bCol): _*)
+      .agg(count(lit(1)).as("__gr_n"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")),
+        groups.map(g => col(s"a.$g") === col(s"b.$g"))
+          .reduceOption(_ && _).map(_ && col(s"b.$bCol") < col(s"a.$bCol"))
+          .getOrElse(col(s"b.$bCol") < col(s"a.$bCol")), "left")
+      .groupBy(groups.map(g => col(s"a.$g").as(g)) :+
+        col(s"a.$bCol").as(bCol): _*)
+      .agg(coalesce(sum(col("b.__gr_n")), lit(0L)).as("__gr_off"))
+    ranked
+      .join(broadcast(offsets), groups :+ bCol)
+      .withColumn(rankCol, (col("__gr_off") + col(rCol)).cast("long"))
+      .drop(mCol, bCol, rCol, "__gr_off")
+  }
+
   /** SQL NTILE(k) bucket from an exact 1-based rank and the group size n:
     * the first (n mod k) buckets take ceil(n/k) rows, the rest floor(n/k)
     * — bitwise the window function's assignment, computed closed-form.

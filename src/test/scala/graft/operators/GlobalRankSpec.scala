@@ -44,6 +44,29 @@ class GlobalRankSpec extends AnyFunSuite with SparkSuite {
       expected.select("id", "r")).isEmpty)
   }
 
+  test("withGroupRank equals the group-partitioned row_number") {
+    import spark.implicits._
+    // 3 skewed groups sharing the same global value range, ties inside
+    // every group — global boundaries cut through all of them
+    val df = (1 to 6000).map { i =>
+      (s"g${i % 3}", i.toLong, ((i.toLong * 7) % 41).toDouble)
+    }.toDF("grp", "id", "m")
+    val w = Window.partitionBy("grp").orderBy(col("m"), col("id"))
+    val expected = df.withColumn("r", row_number().over(w).cast("long"))
+    val actual = GlobalRank.withGroupRank(
+      df, Seq("grp"), col("m"), col("id"), "r", 8)
+    assert(actual.select("grp", "id", "r").except(
+      expected.select("grp", "id", "r")).isEmpty)
+    assert(expected.select("grp", "id", "r").except(
+      actual.select("grp", "id", "r")).isEmpty)
+    // and every row_number window carries the range bucket in its
+    // partition spec — never the bare low-cardinality group
+    val plan = actual.queryExecution.executedPlan.toString
+    assert(!"windowspecdefinition\\(grp#\\d+, __gr_metric".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("__gr_bucket"), plan)
+  }
+
   test("withNtile reproduces NTILE(4) including the uneven remainder") {
     // 9703 rows: 9703 = 4*2425 + 3, so three quartiles take 2426 rows
     // and one takes 2425 — the remainder assignment must match SQL's
