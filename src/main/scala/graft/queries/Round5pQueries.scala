@@ -97,16 +97,17 @@ object Round5pQueries {
     // Per-source Gini coefficient of document length — the
     // concentration audit (a source where 1% of docs hold 90% of the
     // bytes needs different sampling than a uniform one). Closed-form
-    // from the rank sum: G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n. The rank
-    // window is PARTITIONED by source (scales with source count);
-    // equal lengths permute freely under the rank without changing
-    // Σ(rank·x), so the tie-break order cannot leak into the value.
-    // All sums are exact longs; the two divisions are mirrored.
+    // from the rank sum: G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n. The
+    // per-source rank comes from GlobalRank.withGroupRank (windows
+    // partitioned by (source, length-range bucket)) — a bare
+    // partitionBy(source) window is a |sources|-task sort of the whole
+    // corpus at 100×. Equal lengths permute freely under the rank
+    // without changing Σ(rank·x), so the tie-break order cannot leak
+    // into the value. All sums are exact longs; divisions mirrored.
     "q_gini_doclen" -> ((s, dir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_chars"), col("doc_id"))
-      t(s, dir, "documents")
-        .withColumn("rk", row_number().over(w).cast("long"))
+      graft.operators.GlobalRank.withGroupRank(
+          t(s, dir, "documents"), Seq("source"),
+          col("n_chars"), col("doc_id"), "rk")
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("tot"),
