@@ -54,7 +54,8 @@ object SparkEntry {
     Round5tQueries.queries ++
     Round5uQueries.queries ++
     Round5vQueries.queries ++
-    Round5wQueries.queries
+    Round5wQueries.queries ++
+    Round5xQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -93,5 +94,6 @@ object SparkEntry {
     Round5tQueries.oracle ++
     Round5uQueries.oracle ++
     Round5vQueries.oracle ++
-    Round5wQueries.oracle
+    Round5wQueries.oracle ++
+    Round5xQueries.oracle
 }
