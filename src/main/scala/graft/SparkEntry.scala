@@ -55,7 +55,8 @@ object SparkEntry {
     Round5uQueries.queries ++
     Round5vQueries.queries ++
     Round5wQueries.queries ++
-    Round5xQueries.queries
+    Round5xQueries.queries ++
+    Round5yQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -95,5 +96,6 @@ object SparkEntry {
     Round5uQueries.oracle ++
     Round5vQueries.oracle ++
     Round5wQueries.oracle ++
-    Round5xQueries.oracle
+    Round5xQueries.oracle ++
+    Round5yQueries.oracle
 }
