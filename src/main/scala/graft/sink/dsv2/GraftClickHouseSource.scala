@@ -136,7 +136,13 @@ class GraftWrite(options: GraftSinkOptions, pk: Seq[String],
   import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
 
   override def requiredDistribution(): Distribution =
-    if (options.writeLocal &&
+    // Hash strategy clusters on the partition keys for write-local
+    // (shard routing) AND for the memory endpoint: there each writer
+    // partition becomes one key-grouped bucket, which is what lets the
+    // read path report KeyGroupedPartitioning and Spark drop the
+    // shuffle for aggregations/joins on those keys (the read mirror of
+    // the routing contract, see GraftScan.outputPartitioning).
+    if ((options.writeLocal || executorKind == "memory") &&
         options.partitionStrategy == graft.sink.PartitionStrategy.Hash)
       Distributions.clustered(
         options.partitionKeys.map(k => Expressions.identity(k)).toArray)

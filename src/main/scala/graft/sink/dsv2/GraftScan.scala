@@ -94,6 +94,24 @@ class GraftScanBuilder(options: GraftSinkOptions, executorKind: String,
     if (pushed.nonEmpty) return false
     val groups = aggregation.groupByExpressions.toSeq.map(fieldOf)
     if (groups.exists(g => g.isEmpty || !plain(g.get.dataType))) return false
+    // When the scan will report KeyGroupedPartitioning for this
+    // grouping (memory endpoint, hash strategy, partition keys ⊆ group
+    // cols, v2 bucketing on), REFUSE the push: the reported layout
+    // yields a fully exchange-free aggregate (Spark's own partial agg
+    // is scan-side anyway), which beats pushed partials + an exchange.
+    // The two cannot compose upstream: V2ScanPartitioningAndOrdering
+    // resolves transform references against the ORIGINAL relation's
+    // attribute ids but subset-checks them against the agg-pushdown
+    // scan relation's FRESH output ids, so a pushed aggregate always
+    // loses the report (Spark 4.1).
+    val keys = options.partitionKeys
+    val reportWins = executorKind == "memory" &&
+      options.partitionStrategy == graft.sink.PartitionStrategy.Hash &&
+      keys.nonEmpty &&
+      keys.toSet.subsetOf(aggregation.groupByExpressions.toSeq
+        .flatMap(fieldOf).map(_.name).toSet) &&
+      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
+    if (reportWins) return false
     val funcs = aggregation.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(AggSpec("count", None, LongType))
       case c: Count if !c.isDistinct =>
@@ -188,10 +206,46 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
     fullSchema: StructType, required: StructType, pushed: Array[Filter],
     agg: Option[PushedAgg] = None, limit: Option[Int] = None,
     topN: Seq[OrderSpec] = Seq.empty, offset: Option[Int] = None)
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+  import org.apache.spark.sql.connector.read.partitioning.{
+    KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+
+  /** Report the memory endpoint's key-grouped layout: a hash-strategy
+    * write clusters rows on the partition keys (GraftWrite
+    * .requiredDistribution), so each writer partition — each scan
+    * partition — holds complete key groups. Reported as
+    * `bucket(n, keys)` with the writer partition id as the partition
+    * value; under spark.sql.sources.v2.bucketing.enabled Spark then
+    * plans aggregations/joins on the keys WITHOUT an exchange — at
+    * 100 TB, reading a sharded table back for a per-key rollup skips
+    * the entire shuffle. Conditions: memory endpoint (JDBC shard scans
+    * interleave all keys per node), hash strategy with keys surviving
+    * column pruning — and when an aggregate is pushed, the partition
+    * keys must be a subset of its GROUP BY: the per-partition partial
+    * rows then still live in their bucket, so the FINAL merge is
+    * exchange-free too (pushed partial agg + key-grouped report
+    * compose). Filters/limits only drop rows — clustering survives.
+    */
+  override def outputPartitioning(): Partitioning = {
+    val keys = options.partitionKeys
+    val aggKeysOk = agg.forall(a =>
+      keys.toSet.subsetOf(a.groupCols.map(_.name).toSet))
+    val reportable = executorKind == "memory" &&
+      options.partitionStrategy == graft.sink.PartitionStrategy.Hash &&
+      keys.nonEmpty && aggKeysOk &&
+      keys.forall(readSchema().fieldNames.contains)
+    if (!reportable) new UnknownPartitioning(0)
+    else {
+      val n = math.max(1, MemorySinkRegistry.allFor(options.tableName)
+        .map(_._1).distinct.size)
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(n, keys: _*)), n)
+    }
+  }
 
   /** Runtime (join-derived) WHERE clauses, rendered at filter() time.
     * Runtime filtering is bandwidth-only by protocol: Spark derives
@@ -390,8 +444,18 @@ class GraftBatchSliceReader(table: String, batchIdx: Int,
   override def close(): Unit = ()
 }
 
+/** `partitionKey` = the writer partition id, i.e. the hash bucket the
+  * write-side clustered distribution routed this partition's rows into —
+  * the value Spark groups splits by when the scan reports
+  * KeyGroupedPartitioning. Harmless extra metadata when the scan
+  * reports UnknownPartitioning.
+  */
 case class GraftMemoryPartition(table: String, pid: Int)
-    extends InputPartition
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](pid))
+}
 
 case class GraftJdbcPartition(url: String, sql: String)
     extends InputPartition
