@@ -130,6 +130,40 @@ class Dsv2PartitioningSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("storage-partitioned join: two bucketed tables join on the key " +
+      "with no shuffle") {
+    MemorySinkRegistry.clear(); GraftCatalogRegistry.clear()
+    import spark.implicits._
+    configureCatalog()
+    spark.sql("CREATE TABLE graft.t_spj_a (id BIGINT, name STRING, " +
+      "score DOUBLE) PARTITIONED BY (bucket(4, id))")
+    spark.sql("CREATE TABLE graft.t_spj_b (id BIGINT, name STRING, " +
+      "score DOUBLE) PARTITIONED BY (bucket(4, id))")
+    (1L to 40L).map(i => (i % 7, s"a$i", i * 1.5))
+      .toDF("id", "name", "score")
+      .coalesce(2).writeTo("graft.t_spj_a").append()
+    (1L to 10L).map(i => (i % 7, s"b$i", i * 2.0))
+      .toDF("id", "name", "score")
+      .coalesce(2).writeTo("graft.t_spj_b").append()
+    withBucketing {
+      // disable the broadcast fallback so the join must pick SMJ and
+      // the key-grouped layout is what removes the exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("graft.t_spj_a").as("a")
+          .join(spark.table("graft.t_spj_b").as("b"), "id")
+          .selectExpr("id", "a.name", "b.name as bname")
+        assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
+        // 40 left rows over id=i%7 joined to 10 right rows over id=i%7:
+        // right has ids 1..6 once, id 0 never appears twice... compute:
+        // right ids: 1,2,3,4,5,6,0,1,2,3 -> id0:1, id1:2, id2:2, id3:2,
+        // id4:1, id5:1, id6:1. left counts: id0:5,1:6,2:6,3:6,4:6,5:6,6:5
+        val n = j.collect().length
+        assert(n == 5*1 + 6*2 + 6*2 + 6*2 + 6*1 + 6*1 + 5*1)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("catalog DDL surface: exists / drop / duplicate-create rejected") {
     MemorySinkRegistry.clear(); GraftCatalogRegistry.clear()
     createAndFill("t_ddl", bucketed = true)
