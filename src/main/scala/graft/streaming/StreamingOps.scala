@@ -28,6 +28,13 @@ case class NetState(key: Long, net: Long)
 /** One emitted high-watermark alert (prevMax None on the first alert). */
 case class Alert(key: Long, value: Double, prevMax: Option[Double])
 
+case class ItemEvent(key: Long, item: String)
+
+/** Current top-k items for a key, ordered by (count DESC, item ASC). */
+case class TopItems(key: Long, items: Seq[String])
+
+case class RollingSum(key: Long, n: Int, sum: Double)
+
 object StreamingOps {
 
   /** Changelog op -> collapsing sign (R10): I/+U add, -U/D retract —
@@ -260,6 +267,40 @@ object StreamingOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Per-key streaming top-k on transformWithState MAP state: a named
+    * MapState[item → count] accumulates across batches, and each batch
+    * with input for a key re-emits that key's current top-k (count
+    * DESC, item ASC — a total order) in update mode. The state is one
+    * entry per distinct item PER KEY — the RocksDB-backed map the
+    * v2 API exists for; a ValueState holding the whole map would
+    * rewrite every entry on every update.
+    */
+  def streamTopKItems(events: org.apache.spark.sql.Dataset[ItemEvent],
+      k: Int): org.apache.spark.sql.Dataset[TopItems] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new TopKItemsProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Sliding-window rolling sum over the last `window` readings per key
+    * on transformWithState LIST state: the buffer is a bounded ring —
+    * append, trim to the last `window` via put(), emit (n, sum) per
+    * reading. The detector shape behind "alert when the last N
+    * readings sum past X" with state bounded at N values per key.
+    */
+  def rollingWindowSum(readings: org.apache.spark.sql.Dataset[ChangeRecord],
+      window: Int): org.apache.spark.sql.Dataset[RollingSum] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = readings.sparkSession
+    import spark.implicits._
+    readings.groupByKey(_.key)
+      .transformWithState(new RollingSumProcessor(window),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** stream_update_sink: session-window event counts per user emitted in
     * update mode — the retract/upsert-producing aggregation shape the
     * reference's README feeds into the sink (README.md:6-11).
@@ -355,5 +396,65 @@ class SessionNetProcessor(gapMs: Long)
     val finalNet = if (net.exists()) net.get() else 0L
     net.clear(); maxTs.clear()
     Iterator.single(NetState(key, finalNet))
+  }
+}
+
+/** transformWithState processor for streamTopKItems: MapState holds
+  * item → count for the key; each input batch bumps counts and emits
+  * ONE TopItems row with the key's current top-k under the total order
+  * (count DESC, item ASC).
+  */
+class TopKItemsProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, ItemEvent, TopItems] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TTLConfig, TimerValues}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long](
+      "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[ItemEvent],
+      timerValues: TimerValues): Iterator[TopItems] = {
+    rows.foreach { r =>
+      val prev = if (counts.containsKey(r.item)) counts.getValue(r.item)
+                 else 0L
+      counts.updateValue(r.item, prev + 1L)
+    }
+    val top = counts.iterator().toSeq
+      .sortBy { case (item, n) => (-n, item) }
+      .take(k).map(_._1)
+    Iterator.single(TopItems(key, top))
+  }
+}
+
+/** transformWithState processor for rollingWindowSum: ListState as a
+  * bounded ring buffer — append the reading, trim to the newest
+  * `window` values with put(), emit the window size and sum per
+  * reading.
+  */
+class RollingSumProcessor(window: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, ChangeRecord, RollingSum] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig, TimerValues}
+
+  @transient private var recent: ListState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[Double](
+      "recent", Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[ChangeRecord],
+      timerValues: TimerValues): Iterator[RollingSum] = {
+    val out = Seq.newBuilder[RollingSum]
+    rows.foreach { r =>
+      val kept = (recent.get().toSeq :+ r.value).takeRight(window)
+      recent.put(kept.toArray)
+      out += RollingSum(key, kept.size, kept.sum)
+    }
+    out.result().iterator
   }
 }

@@ -350,6 +350,46 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("transformWithState: MapState top-k items per key across batches") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[ItemEvent]
+      val top = StreamingOps.streamTopKItems(mem.toDS(), k = 2)
+      runToMemory(top.toDF(), "topk_out", "update")(
+        () => mem.addData(ItemEvent(1, "apple"), ItemEvent(1, "pear"),
+          ItemEvent(1, "apple"), ItemEvent(2, "kiwi")),
+        () => mem.addData(ItemEvent(1, "plum"), ItemEvent(1, "plum"),
+          ItemEvent(1, "plum")))
+      // update mode: take the LAST emission per key
+      val rows = spark.table("topk_out").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+      // key 1 emitted twice: first (apple 2, pear 1), then plum=3 wins
+      val key1 = rows.filter(_._1 == 1L)
+      assert(key1.toSeq == Seq((1L, List("apple", "pear")),
+        (1L, List("plum", "apple"))))
+      assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, List("kiwi"))))
+    }
+  }
+
+  test("transformWithState: ListState bounded ring gives sliding sums") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[ChangeRecord]
+      val roll = StreamingOps.rollingWindowSum(mem.toDS(), window = 3)
+      runToMemory(roll.toDF(), "roll_out", "update")(
+        () => mem.addData(ChangeRecord(7, "I", 1.0),
+          ChangeRecord(7, "I", 2.0)),
+        () => mem.addData(ChangeRecord(7, "I", 4.0),
+          ChangeRecord(7, "I", 8.0)))
+      val got = spark.table("roll_out").collect()
+        .map(r => (r.getInt(1), r.getDouble(2))).toSeq
+      // window 3: sums 1, 3, then 7 (1+2+4), 14 (2+4+8) - state trimmed
+      assert(got == Seq((1, 1.0), (2, 3.0), (3, 7.0), (3, 14.0)))
+    }
+  }
+
   test("transformWithState: event-time timer releases the final net (v2)") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
