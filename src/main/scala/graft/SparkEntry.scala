@@ -56,7 +56,8 @@ object SparkEntry {
     Round5vQueries.queries ++
     Round5wQueries.queries ++
     Round5xQueries.queries ++
-    Round5yQueries.queries
+    Round5yQueries.queries ++
+    Round5zQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -97,5 +98,6 @@ object SparkEntry {
     Round5vQueries.oracle ++
     Round5wQueries.oracle ++
     Round5xQueries.oracle ++
-    Round5yQueries.oracle
+    Round5yQueries.oracle ++
+    Round5zQueries.oracle
 }
