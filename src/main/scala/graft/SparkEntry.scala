@@ -57,7 +57,8 @@ object SparkEntry {
     Round5wQueries.queries ++
     Round5xQueries.queries ++
     Round5yQueries.queries ++
-    Round5zQueries.queries
+    Round5zQueries.queries ++
+    Round6aQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -99,5 +100,6 @@ object SparkEntry {
     Round5wQueries.oracle ++
     Round5xQueries.oracle ++
     Round5yQueries.oracle ++
-    Round5zQueries.oracle
+    Round5zQueries.oracle ++
+    Round6aQueries.oracle
 }
