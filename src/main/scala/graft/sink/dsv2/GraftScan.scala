@@ -207,7 +207,7 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
     agg: Option[PushedAgg] = None, limit: Option[Int] = None,
     topN: Seq[OrderSpec] = Seq.empty, offset: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportStatistics {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
@@ -270,6 +270,31 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
     */
   override def filter(predicates: Array[V2Predicate]): Unit =
     runtime = predicates.flatMap(V2PredicateSql.render)
+
+  /** Table statistics for the planner: row count from the memory
+    * registry (exact — the buffered rows ARE the table) and size
+    * estimated from the pruned schema's default sizes. Spark's join
+    * planning then auto-broadcasts small ClickHouse tables instead of
+    * shuffling both sides — the decision that matters most at 100 TB,
+    * where the dimension side is KBs and the fact side is the corpus.
+    * JDBC topologies return unknown (a COUNT round-trip at plan time
+    * is the catalog's job, not the scan's); unknown stats fall back to
+    * Spark's conservative default, never a wrong broadcast.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows: Option[Long] =
+      if (executorKind == "memory")
+        Some(MemorySinkRegistry.allFor(options.tableName)
+          .map(_._2.size.toLong).sum)
+      else None
+    override def sizeInBytes(): java.util.OptionalLong =
+      rows.map(r => java.util.OptionalLong.of(
+        r * readSchema().map(_.dataType.defaultSize).sum.toLong))
+        .getOrElse(java.util.OptionalLong.empty())
+    override def numRows(): java.util.OptionalLong =
+      rows.map(java.util.OptionalLong.of)
+        .getOrElse(java.util.OptionalLong.empty())
+  }
 
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
 
