@@ -58,7 +58,8 @@ object SparkEntry {
     Round5xQueries.queries ++
     Round5yQueries.queries ++
     Round5zQueries.queries ++
-    Round6aQueries.queries
+    Round6aQueries.queries ++
+    Round6bQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -101,5 +102,6 @@ object SparkEntry {
     Round5xQueries.oracle ++
     Round5yQueries.oracle ++
     Round5zQueries.oracle ++
-    Round6aQueries.oracle
+    Round6aQueries.oracle ++
+    Round6bQueries.oracle
 }
