@@ -53,6 +53,15 @@ object StatementFactory {
   def truncate(tableName: String, clusterName: Option[String]): String =
     s"TRUNCATE TABLE ${quoteIdentifier(tableName)}${onCluster(clusterName)}"
 
+  /** Filter-based mutation (SQL `DELETE FROM` / overwrite-by-filter):
+    * same ALTER mutation grammar as [[delete]], but with a
+    * pre-rendered WHERE condition instead of PK-equality placeholders.
+    */
+  def deleteWhere(tableName: String, condition: String,
+      clusterName: Option[String]): String =
+    s"ALTER TABLE ${quoteIdentifier(tableName)}${onCluster(clusterName)}" +
+      s" DELETE WHERE $condition"
+
   /** Read-path SELECT (R15 made live — the reference's JDBC→row
     * converter is dead code because it ships no scan; our DSv2 read
     * path generates the statement the converter would have consumed):

@@ -48,7 +48,42 @@ class GraftClickHouseSource extends TableProvider with DataSourceRegister {
 
 class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
     extends Table with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  private def mutationOpts: (GraftSinkOptions, String) = (
+    GraftSinkOptions.fromMap(properties - "primary-key" - "graft.executor"),
+    properties.getOrElse("graft.executor", "jdbc"))
+
+  /** SQL `DELETE FROM graft.t WHERE …` — the ClickHouse ALTER-mutation
+    * surface. The gate refuses (analysis error, no partial mutation)
+    * unless every filter is decidable: evaluable row-level for the
+    * memory endpoint, renderable to mutation SQL for JDBC.
+    */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val (_, kind) = mutationOpts
+    if (kind == "memory") filters.forall(RowFilterEval.supports(_, schema))
+    else filters.forall(f => FilterSql.render(f).isDefined)
+  }
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val (opts, kind) = mutationOpts
+    kind match {
+      case "memory" =>
+        MemorySinkRegistry.deleteWhere(opts.tableName,
+          row => RowFilterEval.matchesAll(filters.toSeq, row, schema))
+      case _ =>
+        val cond = filters.flatMap(FilterSql.render) match {
+          case Array() => "1" // DELETE with no filter = delete all rows
+          case fs => fs.mkString("(", ") AND (", ")")
+        }
+        GraftBatchWrite.executeMutationWithRetry(opts,
+          StatementFactory.deleteWhere(opts.tableName, cond,
+            opts.explicitClusterName))
+    }
+  }
 
   override def name(): String =
     s"clickhouse-style:${properties.getOrElse("table-name", "?")}"
@@ -63,7 +98,8 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
   // stream — see GraftScan.
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(
@@ -90,7 +126,7 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
 
 class GraftWriteBuilder(options: GraftSinkOptions, pk: Seq[String],
     executorKind: String, schema: StructType)
-    extends WriteBuilder with SupportsTruncate
+    extends WriteBuilder with SupportsOverwrite
     // Update-mode streaming aggregations write their upsert rows as
     // plain appends — exactly this sink's contract (changelog rides as
     // data, idempotence delegated to versioned replace downstream).
@@ -102,14 +138,35 @@ class GraftWriteBuilder(options: GraftSinkOptions, pk: Seq[String],
     // rows") fails if its validation semantics change.
     with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
 
-  private var doTruncate = false
+  private var overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
 
   /** mode("overwrite") / streaming complete mode: truncate-then-append
     * (the ClickHouse TRUNCATE TABLE statement; an extension past the
     * reference, which is append-only).
     */
   override def truncate(): WriteBuilder = {
-    doTruncate = true
+    overwriteFilters = Some(Array.empty)
+    this
+  }
+
+  /** `writeTo(t).overwrite(cond)` — replace the matching region:
+    * ALTER … DELETE WHERE cond (row-level on the memory endpoint),
+    * then append the new rows. Undecidable filters fail the PLAN
+    * (never a partial overwrite); Spark 4 does not consult
+    * canOverwrite before calling, so the gate lives here.
+    */
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    val undecidable =
+      if (executorKind == "memory")
+        filters.filterNot(RowFilterEval.supports(_, schema))
+      else filters.filterNot(f => FilterSql.render(f).isDefined)
+    if (undecidable.nonEmpty) throw new UnsupportedOperationException(
+      s"clickhouse-style overwrite cannot decide filters: " +
+        undecidable.mkString(", "))
+    // AlwaysTrue = full overwrite = plain truncate
+    overwriteFilters = Some(filters.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
     this
   }
 
@@ -117,7 +174,7 @@ class GraftWriteBuilder(options: GraftSinkOptions, pk: Seq[String],
     // R2 at plan time: a changelog input (op column) needs a PK
     graft.sink.WriteMode.validateChangelog(pk.nonEmpty,
       insertOnlyStream = !schema.fieldNames.contains("op"))
-    new GraftWrite(options, pk, executorKind, schema, doTruncate)
+    new GraftWrite(options, pk, executorKind, schema, overwriteFilters)
   }
 }
 
@@ -129,8 +186,10 @@ class GraftWriteBuilder(options: GraftSinkOptions, pk: Seq[String],
   */
 class GraftWrite(options: GraftSinkOptions, pk: Seq[String],
     executorKind: String, schema: StructType,
-    truncateFirst: Boolean = false)
+    overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
     extends Write with RequiresDistributionAndOrdering {
+
+  private def truncateFirst: Boolean = overwriteFilters.isDefined
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -162,7 +221,7 @@ class GraftWrite(options: GraftSinkOptions, pk: Seq[String],
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def toBatch: BatchWrite = new GraftBatchWrite(
-    options, pk, executorKind, schema, truncateFirst)
+    options, pk, executorKind, schema, overwriteFilters)
 
   override def toStreaming: streaming.StreamingWrite = {
     // Spark only requests truncate on a STREAMING write for Complete
@@ -211,20 +270,31 @@ class GraftStreamingWrite(options: GraftSinkOptions, pk: Seq[String],
   */
 class GraftBatchWrite(options: GraftSinkOptions, pk: Seq[String],
     executorKind: String, schema: StructType,
-    truncateFirst: Boolean = false) extends BatchWrite {
+    overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    // driver-side, once, before any writer task: the truncate half of
-    // truncate-then-append overwrite
-    if (truncateFirst) {
+    // driver-side, once, before any writer task: the delete half of
+    // delete-then-append overwrite (empty filters = full truncate)
+    overwriteFilters.foreach { filters =>
       GraftBatchWrite.log.warn(
         s"Overwrite of '${options.tableName}' is non-atomic " +
-          "(truncate-then-append): a job failure after this point leaves " +
-          "the table empty until the job is re-run")
-      executorKind match {
-        case "memory" => MemorySinkRegistry.clearTable(options.tableName)
-        case _ => GraftBatchWrite.truncateWithRetry(options)
+          "(delete-then-append): a job failure after this point leaves " +
+          "the deleted region empty until the job is re-run")
+      (executorKind, filters) match {
+        case ("memory", Array()) =>
+          MemorySinkRegistry.clearTable(options.tableName)
+        case ("memory", fs) =>
+          MemorySinkRegistry.deleteWhere(options.tableName,
+            row => graft.sink.RowFilterEval.matchesAll(fs.toSeq, row, schema))
+        case (_, Array()) => GraftBatchWrite.truncateWithRetry(options)
+        case (_, fs) =>
+          val cond = fs.flatMap(FilterSql.render)
+            .mkString("(", ") AND (", ")")
+          GraftBatchWrite.executeMutationWithRetry(options,
+            graft.sink.StatementFactory.deleteWhere(options.tableName,
+              cond, options.explicitClusterName))
       }
     }
     new GraftDataWriterFactory(options, pk, executorKind, schema)
@@ -271,9 +341,16 @@ object GraftBatchWrite {
     urls.distinct
   }
 
-  private[dsv2] def truncateWithRetry(options: GraftSinkOptions): Unit = {
-    val sql = graft.sink.StatementFactory.truncate(
-      options.tableName, options.explicitClusterName)
+  private[dsv2] def truncateWithRetry(options: GraftSinkOptions): Unit =
+    executeMutationWithRetry(options, graft.sink.StatementFactory.truncate(
+      options.tableName, options.explicitClusterName))
+
+  /** Shared driver-side mutation executor (TRUNCATE, ALTER … DELETE
+    * WHERE): same retry/credential/node-fan-out contract for every
+    * statement that mutates the table outside the row write path.
+    */
+  private[dsv2] def executeMutationWithRetry(options: GraftSinkOptions,
+      sql: String): Unit = {
     truncateUrls(options).foreach { url =>
       var attempt = 0
       var done = false
@@ -294,7 +371,7 @@ object GraftBatchWrite {
           case e: Exception =>
             if (attempt > options.maxRetries)
               throw new RuntimeException(
-                s"TRUNCATE failed after $attempt attempts on $url", e)
+                s"Mutation failed after $attempt attempts on $url: $sql", e)
             Thread.sleep(1000L * attempt)
         }
       }

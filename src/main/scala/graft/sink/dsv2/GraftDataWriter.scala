@@ -131,6 +131,21 @@ object MemorySinkRegistry {
   def clear(): Unit = batches.clear()
   def clearTable(table: String): Unit =
     batches.removeIf(_._1 == table)
+
+  /** Row-level mutation for DELETE WHERE / overwrite-by-filter: drop
+    * buffered rows matching the predicate, keeping batch identity (the
+    * streaming replay offsets stay valid — a mutated batch replays its
+    * surviving rows).
+    */
+  def deleteWhere(table: String, pred: org.apache.spark.sql.Row => Boolean): Unit = {
+    import scala.jdk.CollectionConverters._
+    val snapshot = batches.asScala.toSeq
+    batches.clear()
+    snapshot.foreach { case (t, pid, rows) =>
+      if (t == table) batches.add((t, pid, rows.filterNot(pred)))
+      else batches.add((t, pid, rows))
+    }
+  }
   def all: Seq[(Int, Seq[Row])] = {
     import scala.jdk.CollectionConverters._
     batches.asScala.toSeq.map(e => (e._2, e._3))
