@@ -59,7 +59,8 @@ object SparkEntry {
     Round5yQueries.queries ++
     Round5zQueries.queries ++
     Round6aQueries.queries ++
-    Round6bQueries.queries
+    Round6bQueries.queries ++
+    Round6cQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -103,5 +104,6 @@ object SparkEntry {
     Round5yQueries.oracle ++
     Round5zQueries.oracle ++
     Round6aQueries.oracle ++
-    Round6bQueries.oracle
+    Round6bQueries.oracle ++
+    Round6cQueries.oracle
 }
