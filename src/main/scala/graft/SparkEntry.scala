@@ -60,7 +60,8 @@ object SparkEntry {
     Round5zQueries.queries ++
     Round6aQueries.queries ++
     Round6bQueries.queries ++
-    Round6cQueries.queries
+    Round6cQueries.queries ++
+    Round6dQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -105,5 +106,6 @@ object SparkEntry {
     Round5zQueries.oracle ++
     Round6aQueries.oracle ++
     Round6bQueries.oracle ++
-    Round6cQueries.oracle
+    Round6cQueries.oracle ++
+    Round6dQueries.oracle
 }
