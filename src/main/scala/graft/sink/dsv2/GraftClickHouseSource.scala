@@ -49,7 +49,16 @@ class GraftClickHouseSource extends TableProvider with DataSourceRegister {
 class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO (group-based copy-on-write rewrite) —
+    * see [[GraftRowLevelOperation]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(info.command(), schema, properties)
 
   private def mutationOpts: (GraftSinkOptions, String) = (
     GraftSinkOptions.fromMap(properties - "primary-key" - "graft.executor"),

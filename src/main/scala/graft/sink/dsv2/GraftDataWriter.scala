@@ -137,6 +137,17 @@ object MemorySinkRegistry {
     * streaming replay offsets stay valid — a mutated batch replays its
     * surviving rows).
     */
+  /** Atomic-swap for staged replacement writes (row-level operations):
+    * the staging table's rows become the real table's in one pass.
+    */
+  def swap(from: String, to: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    batches.removeIf(_._1 == to)
+    val moved = batches.asScala.filter(_._1 == from).toSeq
+    batches.removeIf(_._1 == from)
+    moved.foreach { case (_, pid, rows) => batches.add((to, pid, rows)) }
+  }
+
   def deleteWhere(table: String, pred: org.apache.spark.sql.Row => Boolean): Unit = {
     import scala.jdk.CollectionConverters._
     val snapshot = batches.asScala.toSeq
