@@ -61,7 +61,8 @@ object SparkEntry {
     Round6aQueries.queries ++
     Round6bQueries.queries ++
     Round6cQueries.queries ++
-    Round6dQueries.queries
+    Round6dQueries.queries ++
+    Round6eQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -107,5 +108,6 @@ object SparkEntry {
     Round6aQueries.oracle ++
     Round6bQueries.oracle ++
     Round6cQueries.oracle ++
-    Round6dQueries.oracle
+    Round6dQueries.oracle ++
+    Round6eQueries.oracle
 }
