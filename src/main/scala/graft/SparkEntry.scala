@@ -62,7 +62,8 @@ object SparkEntry {
     Round6bQueries.queries ++
     Round6cQueries.queries ++
     Round6dQueries.queries ++
-    Round6eQueries.queries
+    Round6eQueries.queries ++
+    Round6fQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -109,5 +110,6 @@ object SparkEntry {
     Round6bQueries.oracle ++
     Round6cQueries.oracle ++
     Round6dQueries.oracle ++
-    Round6eQueries.oracle
+    Round6eQueries.oracle ++
+    Round6fQueries.oracle
 }

@@ -492,7 +492,7 @@ object PipelineQueries {
   // ---------------------------------------------------------------------
 
   /** Distinct word-3-gram shingles per doc (DuckDB list comprehension). */
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     """sh AS (
       |  SELECT doc_id, lang, source,
       |    list_distinct([array_to_string(ws[i:i+2], ' ')
