@@ -63,7 +63,8 @@ object SparkEntry {
     Round6cQueries.queries ++
     Round6dQueries.queries ++
     Round6eQueries.queries ++
-    Round6fQueries.queries
+    Round6fQueries.queries ++
+    Round6gQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -111,5 +112,6 @@ object SparkEntry {
     Round6cQueries.oracle ++
     Round6dQueries.oracle ++
     Round6eQueries.oracle ++
-    Round6fQueries.oracle
+    Round6fQueries.oracle ++
+    Round6gQueries.oracle
 }
