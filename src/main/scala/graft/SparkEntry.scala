@@ -64,7 +64,9 @@ object SparkEntry {
     Round6dQueries.queries ++
     Round6eQueries.queries ++
     Round6fQueries.queries ++
-    Round6gQueries.queries
+    Round6gQueries.queries ++
+    Round6hQueries.queries ++
+    Round6iQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -113,5 +115,7 @@ object SparkEntry {
     Round6dQueries.oracle ++
     Round6eQueries.oracle ++
     Round6fQueries.oracle ++
-    Round6gQueries.oracle
+    Round6gQueries.oracle ++
+    Round6hQueries.oracle ++
+    Round6iQueries.oracle
 }

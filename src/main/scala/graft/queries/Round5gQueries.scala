@@ -25,7 +25,7 @@ object Round5gQueries {
     * l_orderkey) so pair generation is quadratic only in lines-per-order
     * (bounded small by the data model), never in corpus size.
     */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def coEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
     li.as("x").join(li.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
