@@ -66,7 +66,8 @@ object SparkEntry {
     Round6fQueries.queries ++
     Round6gQueries.queries ++
     Round6hQueries.queries ++
-    Round6iQueries.queries
+    Round6iQueries.queries ++
+    Round6jQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -117,5 +118,6 @@ object SparkEntry {
     Round6fQueries.oracle ++
     Round6gQueries.oracle ++
     Round6hQueries.oracle ++
-    Round6iQueries.oracle
+    Round6iQueries.oracle ++
+    Round6jQueries.oracle
 }
