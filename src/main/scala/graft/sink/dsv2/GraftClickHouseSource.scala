@@ -50,7 +50,26 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Virtual `_shard` column on the read path: which writer partition
+    * (memory endpoint) or shard node (write-local JDBC scan) served the
+    * row. Selected on demand (`df.select("_shard", …)`), never part of
+    * the declared table schema — the read-side audit surface for the
+    * partitioner semantics (R6–R8).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftMetadata.SHARD
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "writer partition id (memory) / shard index (write-local jdbc) " +
+          "that served the row; -1 for a single coordinator scan"
+    })
 
   /** SQL UPDATE / MERGE INTO (group-based copy-on-write rewrite) —
     * see [[GraftRowLevelOperation]].

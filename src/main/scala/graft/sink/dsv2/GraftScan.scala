@@ -57,7 +57,12 @@ class GraftScanBuilder(options: GraftSinkOptions, executorKind: String,
       else requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => FilterSql.render(f).isDefined)
+    // metadata-column predicates (_shard) never reach the server: the
+    // column exists only reader-side. They stay residual like everything
+    // else, so Spark still evaluates them on the returned rows.
+    pushed = filters.filter(f =>
+      !f.references.contains(GraftMetadata.SHARD) &&
+        FilterSql.render(f).isDefined)
     filters // everything stays residual: Spark re-applies post-scan
   }
 
@@ -185,6 +190,18 @@ class GraftScanBuilder(options: GraftSinkOptions, executorKind: String,
   override def build(): Scan =
     new GraftScan(options, executorKind, schema, required, pushed,
       agg, limit, topN, offset)
+}
+
+/** Reader-side metadata columns (SupportsMetadataColumns): `_shard` is
+  * the writer partition id (memory endpoint) or the shard index of the
+  * node that served the row (write-local JDBC scan; -1 for a single
+  * coordinator scan). Selected like a column (`df.select("_shard", …)`)
+  * but never part of the declared table schema — the Spark analog of a
+  * system/virtual column, useful for auditing shard routing (R6–R8)
+  * from the read side.
+  */
+object GraftMetadata {
+  val SHARD = "_shard"
 }
 
 /** One translated aggregate: kind ∈ count/min/max/sum, the source column
@@ -334,7 +351,9 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
         val urls =
           if (nodes.nonEmpty) nodes.map(_.jdbcUrl(options.databaseName))
           else Seq(options.url)
-        urls.map(u => GraftJdbcPartition(u, sql)).toArray
+        urls.zipWithIndex.map { case (u, i) =>
+          GraftJdbcPartition(u, sql, if (nodes.nonEmpty) i else -1)
+        }.toArray
     }
 
   /** The generated server-side statement, aggregate/order/limit aware.
@@ -360,8 +379,14 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
         s"SELECT ${cols.mkString(", ")} FROM ${q(options.tableName)}" +
           where + group
       case None =>
+        // metadata columns (_shard) are reader-side only — the server
+        // SELECT carries data columns exclusively
+        val dataCols = required.fieldNames.toSeq
+          .filterNot(_ == GraftMetadata.SHARD)
         StatementFactory.select(options.tableName,
-          required.fieldNames.toSeq, allFilters.toSeq)
+          if (dataCols.nonEmpty) dataCols
+          else Seq(fullSchema.fieldNames.head),
+          allFilters.toSeq)
     }
     val order =
       if (topN.isEmpty) ""
@@ -482,7 +507,7 @@ case class GraftMemoryPartition(table: String, pid: Int)
       Array[Any](pid))
 }
 
-case class GraftJdbcPartition(url: String, sql: String)
+case class GraftJdbcPartition(url: String, sql: String, shard: Int = -1)
     extends InputPartition
 
 class GraftReaderFactory(fullSchema: StructType, required: StructType,
@@ -499,8 +524,8 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
           case None =>
             new GraftMemoryReader(table, pid, fullSchema, required, limit)
         }
-      case GraftJdbcPartition(url, sql) =>
-        new GraftJdbcReader(url, sql, required, username, password)
+      case GraftJdbcPartition(url, sql, shard) =>
+        new GraftJdbcReader(url, sql, required, username, password, shard)
     }
 }
 
@@ -583,15 +608,20 @@ class GraftMemoryAggReader(table: String, pid: Int,
   */
 private[dsv2] object RowProjection {
 
-  def apply(fullSchema: StructType,
-      required: StructType): Row => InternalRow = {
-    val idx = required.fieldNames.map(fullSchema.fieldIndex)
+  def apply(fullSchema: StructType, required: StructType,
+      metadata: Map[String, Any] = Map.empty): Row => InternalRow = {
+    // per output field: Right(constant) for a metadata column,
+    // Left(source ordinal) for a data column
+    val src: Array[Either[Int, Any]] = required.fieldNames.map { n =>
+      metadata.get(n).toRight(fullSchema.fieldIndex(n))
+    }
     val isNtz = required.fields.map(_.dataType == TimestampNTZType)
     val toCatalyst =
       CatalystTypeConverters.createToCatalystConverter(required)
     r => {
-      val vals = idx.zipWithIndex.map { case (srcIdx, outIdx) =>
-        r.get(srcIdx) match {
+      val vals = src.zipWithIndex.map {
+        case (Right(const), _) => const
+        case (Left(srcIdx), outIdx) => r.get(srcIdx) match {
           case t: java.sql.Timestamp if isNtz(outIdx) => t.toLocalDateTime
           case v => v
         }
@@ -610,7 +640,9 @@ class GraftMemoryReader(table: String, pid: Int,
     limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
-  private val project = RowProjection(fullSchema, required)
+  // _shard resolves to this reader's writer-partition id
+  private val project = RowProjection(fullSchema, required,
+    Map(GraftMetadata.SHARD -> pid))
   private val rows: Iterator[Row] = {
     val all = MemorySinkRegistry.allFor(table)
       .filter(_._1 == pid).flatMap(_._2)
@@ -637,8 +669,17 @@ class GraftMemoryReader(table: String, pid: Int,
   * (ClickHouseRowConverter.java:98-147), with the same per-type getters.
   */
 class GraftJdbcReader(url: String, sql: String, required: StructType,
-    username: Option[String], password: Option[String])
+    username: Option[String], password: Option[String], shard: Int = -1)
     extends PartitionReader[InternalRow] {
+
+  // ResultSet ordinal (1-based) per output field; metadata columns
+  // (_shard) have no server-side ordinal and resolve to the constant
+  private val rsOrdinal: Array[Int] = {
+    var next = 0
+    required.fields.map { f =>
+      if (f.name == GraftMetadata.SHARD) -1 else { next += 1; next }
+    }
+  }
 
   private lazy val conn = {
     val props = new java.util.Properties()
@@ -659,28 +700,32 @@ class GraftJdbcReader(url: String, sql: String, required: StructType,
   override def next(): Boolean = rs.next()
 
   override def get(): InternalRow = {
-    val values = required.fields.zipWithIndex.map { case (f, i) =>
-      val v: Any = f.dataType match {
-        case BooleanType => rs.getBoolean(i + 1)
-        case ByteType => rs.getByte(i + 1)
-        case ShortType => rs.getShort(i + 1)
-        case IntegerType => rs.getInt(i + 1)
-        case LongType => rs.getLong(i + 1)
-        case FloatType => rs.getFloat(i + 1)
-        case DoubleType => rs.getDouble(i + 1)
-        case _: DecimalType => rs.getBigDecimal(i + 1)
-        case StringType => rs.getString(i + 1)
-        case BinaryType => rs.getBytes(i + 1)
-        case DateType => rs.getDate(i + 1)
-        case TimestampType => rs.getTimestamp(i + 1)
-        // Catalyst's NTZ converter accepts LocalDateTime only — a
-        // java.sql.Timestamp here would throw at conversion time
-        case TimestampNTZType =>
-          Option(rs.getTimestamp(i + 1)).map(_.toLocalDateTime).orNull
-        case dt => throw new UnsupportedOperationException(
-          s"Unsupported read type $dt") // same contract as the writer
+    val values = required.fields.zipWithIndex.map { case (f, outIdx) =>
+      val i = rsOrdinal(outIdx)
+      if (i < 0) shard // metadata column, reader-side constant
+      else {
+        val v: Any = f.dataType match {
+          case BooleanType => rs.getBoolean(i)
+          case ByteType => rs.getByte(i)
+          case ShortType => rs.getShort(i)
+          case IntegerType => rs.getInt(i)
+          case LongType => rs.getLong(i)
+          case FloatType => rs.getFloat(i)
+          case DoubleType => rs.getDouble(i)
+          case _: DecimalType => rs.getBigDecimal(i)
+          case StringType => rs.getString(i)
+          case BinaryType => rs.getBytes(i)
+          case DateType => rs.getDate(i)
+          case TimestampType => rs.getTimestamp(i)
+          // Catalyst's NTZ converter accepts LocalDateTime only — a
+          // java.sql.Timestamp here would throw at conversion time
+          case TimestampNTZType =>
+            Option(rs.getTimestamp(i)).map(_.toLocalDateTime).orNull
+          case dt => throw new UnsupportedOperationException(
+            s"Unsupported read type $dt") // same contract as the writer
+        }
+        if (rs.wasNull()) null else v
       }
-      if (rs.wasNull()) null else v
     }
     toCatalyst(Row.fromSeq(values.toIndexedSeq)).asInstanceOf[InternalRow]
   }

@@ -256,7 +256,7 @@ class Dsv2ReadSpec extends AnyFunSuite with SparkSuite {
     val scan = new GraftScan(opts, "jdbc", schema, schema, Array.empty)
     val parts = scan.planInputPartitions()
     assert(parts.length == 3)
-    assert(parts.collect { case GraftJdbcPartition(u, _) => u }.distinct
+    assert(parts.collect { case GraftJdbcPartition(u, _, _) => u }.distinct
       .length == 3)
   }
 }
