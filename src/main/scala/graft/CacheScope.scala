@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.storage.StorageLevel
+
+/** Scoped persists for query builders (r5 verdict #5).
+  *
+  * Iterative builders (graph_pagerank's edge set, HITS' per-iteration
+  * score relations, connected-components supersteps, k-core peeling)
+  * persist intermediates that every iteration reuses — correct, and at
+  * any scale an iterative graph algorithm caches its edges. But a
+  * builder cannot unpersist what its RETURNED DataFrame still needs, so
+  * a plain `.persist` leaks MEMORY_AND_DISK blocks into any long-lived
+  * session: the r4 bench measured 5 queries 6-40x slower downstream of
+  * the first leaked persist before the harness grew its own clearCache.
+  *
+  * Builders call `retain(df)` instead of `persist`; SparkEntry wraps
+  * every query builder in `scoped { ... }`, which binds all frames
+  * retained while the builder ran to the builder's RETURNED plan. A
+  * QueryExecutionListener (installed by GraftSession) releases the whole
+  * scope right after the first completed action whose analyzed plan
+  * contains that returned plan — i.e. exactly when the query that needed
+  * the caches has been consumed. Mid-build actions (e.g. cc_labels'
+  * convergence `count()`s) do NOT release anything: the scope isn't
+  * bound until the builder returns, so frames a later iteration still
+  * needs are never pulled out from under it (mid-query unpersist
+  * reproduced the r3 ContextCleaner stall).
+  *
+  * The harness seam: Bench builds its session with
+  * `spark.graft.cache.autoRelease=false` because its min-of-two-passes
+  * methodology deliberately lets pass 2 reuse pass 1's blocks (steady-
+  * state timing) and clears the cache itself between queries. Library
+  * sessions keep the default (on), so no MEMORY_AND_DISK block outlives
+  * the action that consumed it (CacheScopeSpec pins this).
+  */
+object CacheScope {
+
+  val ConfKey = "spark.graft.cache.autoRelease"
+
+  private final case class Scope(plan: LogicalPlan, frames: List[DataFrame])
+
+  // frames retained while the current thread's builder is running;
+  // bound into a Scope when the enclosing scoped{} returns
+  private val pending = new ThreadLocal[List[DataFrame]] {
+    override def initialValue(): List[DataFrame] = Nil
+  }
+  private val inScope = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  // session -> scopes awaiting their consuming action; sessions are few
+  // and scopes transient, so a plain synchronized map is fine
+  private val scopes =
+    scala.collection.mutable.Map.empty[SparkSession, List[Scope]]
+  private val installed =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  private def enabled(s: SparkSession): Boolean =
+    s.conf.get(ConfKey, "true") == "true"
+
+  /** Persist `df` (MEMORY_AND_DISK); released with the enclosing scope
+    * after the action that consumes the scope's result, when the session
+    * has auto-release on (the default outside the bench harness).
+    */
+  def retain(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    if (enabled(df.sparkSession)) pending.set(df :: pending.get())
+    df
+  }
+
+  /** Bind the frames retained while `build` runs to its returned plan;
+    * they are unpersisted right after the first completed action that
+    * consumes that plan. Nesting composes: an inner scope's frames fold
+    * into the outer scope (released with the outermost result).
+    */
+  def scoped(build: => DataFrame): DataFrame = {
+    if (inScope.get()) return build // inner builder: outer scope owns all
+    inScope.set(true)
+    val df = try build finally inScope.set(false)
+    val captured = pending.get()
+    pending.set(Nil)
+    if (captured.nonEmpty)
+      scopes.synchronized {
+        scopes(df.sparkSession) =
+          Scope(df.queryExecution.analyzed, captured) ::
+            scopes.getOrElse(df.sparkSession, Nil)
+      }
+    df
+  }
+
+  /** Unpersist every scope of `spark` immediately (manual drain). */
+  def releaseAll(spark: SparkSession): Unit = {
+    val ss = scopes.synchronized { scopes.remove(spark).getOrElse(Nil) }
+    ss.flatMap(_.frames).foreach(f =>
+      try f.unpersist(blocking = false) catch { case _: Throwable => () })
+  }
+
+  /** Idempotently install the after-action release listener. */
+  def install(spark: SparkSession): Unit =
+    if (installed.add(spark))
+      spark.listenerManager.register(new QueryExecutionListener {
+        private def consumed(qe: QueryExecution): Unit = {
+          val s = qe.sparkSession
+          val open = scopes.synchronized { scopes.getOrElse(s, Nil) }
+          if (open.nonEmpty) {
+            // an action consumed a scope iff its analyzed plan contains
+            // the scope's result plan as a subtree (the same sameResult
+            // test CacheManager's own cache lookup uses)
+            val (done, keep) = open.partition(sc =>
+              try qe.analyzed.exists(_.sameResult(sc.plan))
+              catch { case _: Throwable => false })
+            if (done.nonEmpty) {
+              scopes.synchronized { scopes(s) = keep }
+              done.flatMap(_.frames).foreach(f =>
+                try f.unpersist(blocking = false)
+                catch { case _: Throwable => () })
+            }
+          }
+        }
+        override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+          consumed(qe)
+        override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit =
+          consumed(qe)
+      })
+}

@@ -34,7 +34,12 @@ object GraftSession {
 
   def build(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
             appName: String = "graft",
-            aqeDefault: String = "false"): SparkSession = {
+            aqeDefault: String = "false",
+            // scoped builder persists are auto-unpersisted after the
+            // consuming action (CacheScope); Bench opts out because its
+            // min-of-two-passes methodology reuses pass-1 blocks and
+            // clears the cache itself between queries
+            autoReleaseCaches: Boolean = true): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -48,6 +53,8 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    s.conf.set(CacheScope.ConfKey, autoReleaseCaches.toString)
+    CacheScope.install(s)
     s
   }
 }

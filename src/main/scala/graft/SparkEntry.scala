@@ -19,8 +19,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("collapsing_net_state")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every builder runs inside CacheScope.scoped: frames a builder
+    * retains (iterative edge sets, supersteps) are auto-unpersisted
+    * right after the action that consumes the returned frame, so no
+    * MEMORY_AND_DISK block outlives its query in a long-lived session
+    * (Bench opts out — see CacheScope).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (k, f) =>
+      k -> ((s: SparkSession, d: String) => CacheScope.scoped(f(s, d)))
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     ChangelogQueries.queries ++
     RelationalQueries.queries ++
     PipelineQueries.queries ++

@@ -228,10 +228,10 @@ object Pipeline2Queries {
         .filter(col("inter") / (size(col("sh_a")) + size(col("sh_b"))
           - col("inter")) >= 0.5)
         .select("a_id", "b_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.retain)
       val bidir = edges.union(
           edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.retain)
       // min-label propagation to the fixed point. Leaked MEMORY_AND_DISK
       // blocks are bounded by the superstep count (one persisted `next`
       // per iteration, O(log diameter) iterations thanks to the pointer
@@ -240,7 +240,7 @@ object Pipeline2Queries {
       // ContextCleaner stall (see the note at the end of this query).
       var labels = t(s, dir, "documents")
         .select(col("doc_id"), col("doc_id").as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.retain)
       var converged = false
       var iter = 0
       while (!converged) {
@@ -264,7 +264,7 @@ object Pipeline2Queries {
         val next = m1.join(p, m1("lbl") === p("p_id"), "left")
           .select(col("doc_id"), col("old"),
             least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.retain)
         val changed = next.filter(col("lbl") =!= col("old")).count()
         labels = next.select("doc_id", "lbl")
         iter += 1

@@ -224,7 +224,7 @@ object Round3bQueries {
         .select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.retain)
       val pairs = words.select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
         .as("pair"))

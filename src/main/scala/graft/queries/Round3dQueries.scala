@@ -166,7 +166,7 @@ object Round3dQueries {
       // step — both step() subtrees then read the materialized edges
       val edgesD = edgesW
         .join(edgesW.groupBy("src").agg(sum(col("w")).as("deg")), "src")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.retain)
       // uniform seed over the part dimension (no extra edge pass;
       // parts that never co-occur contribute nothing downstream)
       val ranks0 = t(s, dir, "part").select(col("p_partkey").as("node"))

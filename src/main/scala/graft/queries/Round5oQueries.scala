@@ -52,7 +52,7 @@ object Round5oQueries {
       // bpe_merge_step lesson, applied).
       import org.apache.spark.storage.StorageLevel
       var edges = coEdges(s, dir)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.retain)
       val rounds = (1 to 3).map { round =>
         val deg = edges.select(col("a").as("v"))
           .unionAll(edges.select(col("b").as("v")))
@@ -61,7 +61,7 @@ object Round5oQueries {
         edges = edges
           .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.retain)
         val stats = edges.agg(count(lit(1)).as("n_edges"))
         val nodes = edges.select(col("a").as("v"))
           .unionAll(edges.select(col("b").as("v"))).distinct()
@@ -94,7 +94,7 @@ object Round5oQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.retain)
       // hub = 1000 for every customer initially
       var hubs = edges.select("c").distinct()
         .withColumn("h", lit(1000L))
@@ -102,14 +102,14 @@ object Round5oQueries {
       for (_ <- 1 to 2) {
         val rawA = edges.join(hubs, "c")
           .groupBy("p").agg(sum("h").as("ra"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.retain)
         val maxA = rawA.agg(max("ra").as("ma"))
         auths = rawA.join(broadcast(maxA))
           .select(col("p"), call_function("div",
             col("ra") * 1000L, col("ma")).as("a"))
         val rawH = edges.join(auths, "p")
           .groupBy("c").agg(sum("a").as("rh"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.retain)
         val maxH = rawH.agg(max("rh").as("mh"))
         hubs = rawH.join(broadcast(maxH))
           .select(col("c"), call_function("div",

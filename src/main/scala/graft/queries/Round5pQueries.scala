@@ -164,20 +164,20 @@ object Round5pQueries {
         .distinct()
       val adj = pairs
         .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.retain)
       var visited = t(s, dir, "part")
         .filter(col("p_partkey") % 100 === 0)
         .select(col("p_partkey").as("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.retain)
       var frontier = visited
       val rows = (1 to 3).map { hop =>
         val next = adj
           .join(frontier.withColumnRenamed("v", "a"), Seq("a"))
           .select(col("b").as("v")).distinct()
           .join(visited, Seq("v"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.retain)
         visited = visited.unionAll(next)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.retain)
         frontier = next
         next.agg(count(lit(1)).as("newly_reached"))
           .crossJoin(visited.agg(count(lit(1)).as("visited_total")))

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Pins the r5-verdict #5 contract: a query builder's retained persists
+  * (iterative edge sets, supersteps) do not outlive the action that
+  * consumes the query — a long-lived session accumulates ZERO
+  * MEMORY_AND_DISK blocks from the query library, with no manual
+  * clearCache cooperation. (Bench opts out via
+  * spark.graft.cache.autoRelease=false to keep pass-2 cache reuse; the
+  * default session — this suite's — has auto-release on.)
+  */
+class CacheScopeSpec extends SparkSuite {
+
+  private def cacheEmpty: Boolean = spark.sharedState.cacheManager.isEmpty
+
+  // the release listener runs on the async listener bus; poll briefly
+  private def awaitCacheEmpty(tag: String): Unit = {
+    val deadline = System.nanoTime() + 15e9.toLong
+    while (!cacheEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(cacheEmpty, s"$tag left persisted blocks behind")
+  }
+
+  private def run(name: String): Array[org.apache.spark.sql.Row] =
+    SparkEntry.queries(name)(spark, sf0001).collect()
+
+  test("graph_pagerank's persisted edge set is released after the action") {
+    val rows = run("graph_pagerank")
+    assert(rows.nonEmpty)
+    awaitCacheEmpty("graph_pagerank")
+  }
+
+  test("iterative superstep persists (cc_labels) release after the action") {
+    // mid-build convergence count()s must NOT release early (the scope
+    // binds on builder return), and the final collect releases all
+    val rows = run("dedup_cc_labels")
+    assert(rows.nonEmpty)
+    awaitCacheEmpty("dedup_cc_labels")
+  }
+
+  test("q_hits_bipartite / q_kcore_peel / q_bfs_hops scopes release") {
+    Seq("q_hits_bipartite", "q_kcore_peel", "q_bfs_hops").foreach { q =>
+      assert(run(q).nonEmpty, q)
+      awaitCacheEmpty(q)
+    }
+  }
+
+  test("retained frames ARE reused while the query runs (still cached)") {
+    // sanity against over-eager release: inside a scope, the retained
+    // frame stays cached until the scope's own action completes
+    import org.apache.spark.sql.functions._
+    val df = CacheScope.scoped {
+      val base = spark.range(1000).toDF("id")
+      val kept = CacheScope.retain(base.withColumn("x", col("id") * 2))
+      assert(kept.storageLevel.useMemory, "retain must persist")
+      kept.groupBy((col("x") % 10).as("m")).count()
+    }
+    assert(df.collect().length == 5) // x is even, x % 10 in {0,2,4,6,8}
+    awaitCacheEmpty("synthetic scope")
+  }
+
+  test("opt-out session conf leaves release to the harness") {
+    val prev = spark.conf.get(CacheScope.ConfKey, "true")
+    try {
+      spark.conf.set(CacheScope.ConfKey, "false")
+      val df: DataFrame = CacheScope.scoped {
+        CacheScope.retain(spark.range(100).toDF("id"))
+      }
+      df.collect()
+      Thread.sleep(300) // give a (wrong) async release a chance to fire
+      assert(!cacheEmpty, "opt-out must not auto-release")
+      spark.catalog.clearCache()
+    } finally spark.conf.set(CacheScope.ConfKey, prev)
+    awaitCacheEmpty("opt-out cleanup")
+  }
+}
