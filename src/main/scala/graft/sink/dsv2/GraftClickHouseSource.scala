@@ -61,7 +61,11 @@ class GraftClickHouseTable(schema: StructType, properties: Map[String, String])
     */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+    // a declared _shard DATA column takes precedence (Spark's
+    // SupportsMetadataColumns convention): advertise no metadata
+    // column rather than silently shadowing real data (ADVICE r5)
+    if (!GraftMetadata.shardIsMetadata(schema())) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
       override def name(): String = GraftMetadata.SHARD
       override def dataType(): org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.IntegerType

@@ -59,9 +59,12 @@ class GraftScanBuilder(options: GraftSinkOptions, executorKind: String,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // metadata-column predicates (_shard) never reach the server: the
     // column exists only reader-side. They stay residual like everything
-    // else, so Spark still evaluates them on the returned rows.
+    // else, so Spark still evaluates them on the returned rows. (When
+    // the declared schema itself has a _shard data column, it is NOT a
+    // metadata column and pushes like any other field.)
+    val shardMeta = GraftMetadata.shardIsMetadata(schema)
     pushed = filters.filter(f =>
-      !f.references.contains(GraftMetadata.SHARD) &&
+      !(shardMeta && f.references.contains(GraftMetadata.SHARD)) &&
         FilterSql.render(f).isDefined)
     filters // everything stays residual: Spark re-applies post-scan
   }
@@ -202,6 +205,15 @@ class GraftScanBuilder(options: GraftSinkOptions, executorKind: String,
   */
 object GraftMetadata {
   val SHARD = "_shard"
+
+  /** Spark's SupportsMetadataColumns convention: a DATA column with the
+    * same name takes precedence over the metadata column. Every `_shard`
+    * special case keys through here, so a table whose declared schema
+    * legitimately contains `_shard` reads it as plain data (server
+    * SELECT includes it, no constant substitution, filters push).
+    */
+  def shardIsMetadata(declared: StructType): Boolean =
+    !declared.fieldNames.contains(SHARD)
 }
 
 /** One translated aggregate: kind ∈ count/min/max/sum, the source column
@@ -273,20 +285,35 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
     */
   private var runtime: Array[String] = Array.empty
 
-  /** Every projected column is fair game for a runtime filter — the
-    * renderer decides per-predicate whether the literal shape
-    * translates (same conservative contract as FilterSql).
+  /** Every projected DATA column is fair game for a runtime filter —
+    * the renderer decides per-predicate whether the literal shape
+    * translates (same conservative contract as FilterSql). The `_shard`
+    * metadata column is excluded: it exists only reader-side, so a
+    * join-derived `_shard IN (...)` rendered into the server WHERE
+    * would be an unknown-column server error (ADVICE r5). Runtime
+    * filtering is bandwidth-only, so skipping it is always safe.
     */
-  override def filterAttributes(): Array[NamedReference] =
-    required.fieldNames.map(Expressions.column)
+  override def filterAttributes(): Array[NamedReference] = {
+    val shardMeta = GraftMetadata.shardIsMetadata(fullSchema)
+    required.fieldNames
+      .filterNot(n => shardMeta && n == GraftMetadata.SHARD)
+      .map(Expressions.column)
+  }
 
   /** Invoked by Spark AFTER planning, BEFORE planInputPartitions: the
     * dynamic-pruning subquery's values arrive as v2 predicates
     * (typically col IN (v1, …, vn) from the join's build side) and
-    * narrow the generated SQL of every partition.
+    * narrow the generated SQL of every partition. Predicates touching
+    * the reader-side `_shard` metadata column are dropped — belt to
+    * filterAttributes' braces (Spark should never send one).
     */
-  override def filter(predicates: Array[V2Predicate]): Unit =
-    runtime = predicates.flatMap(V2PredicateSql.render)
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val shardMeta = GraftMetadata.shardIsMetadata(fullSchema)
+    runtime = predicates
+      .filterNot(p => shardMeta && p.references
+        .exists(_.fieldNames.contains(GraftMetadata.SHARD)))
+      .flatMap(V2PredicateSql.render)
+  }
 
   /** Table statistics for the planner: row count from the memory
     * registry (exact — the buffered rows ARE the table) and size
@@ -380,9 +407,11 @@ class GraftScan(options: GraftSinkOptions, executorKind: String,
           where + group
       case None =>
         // metadata columns (_shard) are reader-side only — the server
-        // SELECT carries data columns exclusively
+        // SELECT carries data columns exclusively (a DECLARED _shard
+        // data column is not metadata and stays in the SELECT)
+        val shardMeta = GraftMetadata.shardIsMetadata(fullSchema)
         val dataCols = required.fieldNames.toSeq
-          .filterNot(_ == GraftMetadata.SHARD)
+          .filterNot(n => shardMeta && n == GraftMetadata.SHARD)
         StatementFactory.select(options.tableName,
           if (dataCols.nonEmpty) dataCols
           else Seq(fullSchema.fieldNames.head),
@@ -474,9 +503,16 @@ class GraftBatchSliceReader(table: String, batchIdx: Int,
     fullSchema: StructType, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val project = RowProjection(fullSchema, required)
+  private val batches = MemorySinkRegistry.allFor(table)
+  // a streaming read that selects _shard gets the writer partition id
+  // of the batch being replayed (ADVICE r5: was an
+  // IllegalArgumentException from fieldIndex at task time)
+  private val project = RowProjection(fullSchema, required,
+    if (GraftMetadata.shardIsMetadata(fullSchema))
+      Map(GraftMetadata.SHARD ->
+        (if (batchIdx < batches.size) batches(batchIdx)._1 else -1))
+    else Map.empty)
   private val rows: Iterator[Row] = {
-    val batches = MemorySinkRegistry.allFor(table)
     if (batchIdx < batches.size) batches(batchIdx)._2.iterator
     else Iterator.empty
   }
@@ -525,7 +561,8 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
             new GraftMemoryReader(table, pid, fullSchema, required, limit)
         }
       case GraftJdbcPartition(url, sql, shard) =>
-        new GraftJdbcReader(url, sql, required, username, password, shard)
+        new GraftJdbcReader(url, sql, required, username, password, shard,
+          GraftMetadata.shardIsMetadata(fullSchema))
     }
 }
 
@@ -640,9 +677,12 @@ class GraftMemoryReader(table: String, pid: Int,
     limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
-  // _shard resolves to this reader's writer-partition id
+  // _shard resolves to this reader's writer-partition id (unless the
+  // declared schema has a _shard DATA column, which takes precedence)
   private val project = RowProjection(fullSchema, required,
-    Map(GraftMetadata.SHARD -> pid))
+    if (GraftMetadata.shardIsMetadata(fullSchema))
+      Map(GraftMetadata.SHARD -> pid)
+    else Map.empty)
   private val rows: Iterator[Row] = {
     val all = MemorySinkRegistry.allFor(table)
       .filter(_._1 == pid).flatMap(_._2)
@@ -669,15 +709,18 @@ class GraftMemoryReader(table: String, pid: Int,
   * (ClickHouseRowConverter.java:98-147), with the same per-type getters.
   */
 class GraftJdbcReader(url: String, sql: String, required: StructType,
-    username: Option[String], password: Option[String], shard: Int = -1)
+    username: Option[String], password: Option[String], shard: Int = -1,
+    shardMeta: Boolean = true)
     extends PartitionReader[InternalRow] {
 
   // ResultSet ordinal (1-based) per output field; metadata columns
-  // (_shard) have no server-side ordinal and resolve to the constant
+  // (_shard) have no server-side ordinal and resolve to the constant.
+  // shardMeta=false (declared _shard data column) reads it as data.
   private val rsOrdinal: Array[Int] = {
     var next = 0
     required.fields.map { f =>
-      if (f.name == GraftMetadata.SHARD) -1 else { next += 1; next }
+      if (shardMeta && f.name == GraftMetadata.SHARD) -1
+      else { next += 1; next }
     }
   }
 

@@ -88,4 +88,79 @@ class Dsv2MetadataSpec extends AnyFunSuite with SparkSuite {
       pushed = Array.empty)
     assert(scan.sql == "SELECT `id` FROM `t_srv`", scan.sql)
   }
+
+  test("runtime V2 filtering never advertises or renders _shard (ADVICE r5)") {
+    import org.apache.spark.sql.connector.expressions.{
+      Expression => V2Expr, Expressions, Literal => V2Literal}
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+    // Spark's own LiteralValue is private[sql]; speak the public contract
+    case class Lit[T](value: T, dataType: DataType) extends V2Literal[T]
+    val opts = GraftSinkOptions.fromMap(Map(
+      "url" -> "clickhouse://localhost:8123",
+      "table-name" -> "t_rt"))
+    val required = StructType(Seq(
+      StructField("id", LongType),
+      StructField("_shard", IntegerType, nullable = false)))
+    val scan = new GraftScan(opts, "jdbc", schema, required,
+      pushed = Array.empty)
+    // _shard is reader-side only: a join-derived `_shard IN (...)`
+    // rendered into the server WHERE is an unknown-column error
+    assert(!scan.filterAttributes().map(_.describe()).contains("_shard"))
+    scan.filter(Array(
+      new V2Predicate("IN", Array[V2Expr](Expressions.column("_shard"),
+        Lit(0, IntegerType))),
+      new V2Predicate("IN", Array[V2Expr](Expressions.column("id"),
+        Lit(7L, LongType)))))
+    assert(scan.sql == "SELECT `id` FROM `t_rt` WHERE (`id` IN (7))",
+      scan.sql)
+  }
+
+  test("a declared _shard DATA column takes precedence over the metadata column") {
+    // SupportsMetadataColumns convention: a schema that legitimately
+    // contains _shard must read it as data — no constant substitution,
+    // no server-SELECT stripping, no metadata advertisement
+    val dataSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("_shard", IntegerType)))
+    assert(!GraftMetadata.shardIsMetadata(dataSchema))
+    assert(GraftMetadata.shardIsMetadata(schema))
+    val opts = GraftSinkOptions.fromMap(Map(
+      "url" -> "clickhouse://localhost:8123",
+      "table-name" -> "t_conflict"))
+    val scan = new GraftScan(opts, "jdbc", dataSchema, dataSchema,
+      pushed = Array.empty)
+    assert(scan.sql == "SELECT `id`, `_shard` FROM `t_conflict`", scan.sql)
+    assert(scan.filterAttributes().map(_.describe()).contains("_shard"))
+    // and the table stops advertising the metadata column entirely
+    val props = Map("url" -> "clickhouse://localhost:8123",
+      "table-name" -> "t_conflict")
+    val table = new GraftClickHouseTable(dataSchema, props)
+    assert(table.metadataColumns().isEmpty)
+    val metaTable = new GraftClickHouseTable(schema, props)
+    assert(metaTable.metadataColumns().map(_.name()).toSeq == Seq("_shard"))
+  }
+
+  test("streaming read serves _shard as the replayed batch's writer pid") {
+    MemorySinkRegistry.clear()
+    writeSample("t_meta_stream")
+    val required = StructType(Seq(
+      StructField("id", LongType),
+      StructField("_shard", IntegerType, nullable = false)))
+    val batches = MemorySinkRegistry.allFor("t_meta_stream")
+    assert(batches.nonEmpty)
+    val got = (0 until batches.size).flatMap { i =>
+      val r = new GraftBatchSliceReader("t_meta_stream", i, schema, required)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getLong(0), row.getInt(1)))
+      }
+      buf
+    }
+    val truth = batches
+      .flatMap { case (pid, rows) => rows.map(r => r.getLong(0) -> pid) }
+      .toMap
+    assert(got.size == 20)
+    got.foreach { case (id, sh) => assert(sh == truth(id), s"id=$id") }
+  }
 }
