@@ -65,22 +65,40 @@ object CacheScope {
   /** Persist `df` (MEMORY_AND_DISK); released with the enclosing scope
     * after the action that consumes the scope's result, when the session
     * has auto-release on (the default outside the bench harness).
+    *
+    * Tracking happens ONLY inside an enclosing `scoped {}` (ADVICE r6):
+    * a bare retain outside any scope used to park the frame in the
+    * thread-local, where the NEXT unrelated scoped call on the same
+    * thread captured it — released after someone else's action, or never.
+    * Outside a scope, retain is now just a persist and the caller owns
+    * the unpersist (releaseAll remains the manual drain for sessions).
     */
   def retain(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    if (enabled(df.sparkSession)) pending.set(df :: pending.get())
+    if (inScope.get() && enabled(df.sparkSession))
+      pending.set(df :: pending.get())
     df
   }
 
   /** Bind the frames retained while `build` runs to its returned plan;
     * they are unpersisted right after the first completed action that
     * consumes that plan. Nesting composes: an inner scope's frames fold
-    * into the outer scope (released with the outermost result).
+    * into the outer scope (released with the outermost result). If the
+    * builder throws, nothing will ever consume its retained frames, so
+    * they are unpersisted on the spot instead of lingering in the
+    * thread-local (ADVICE r6).
     */
   def scoped(build: => DataFrame): DataFrame = {
     if (inScope.get()) return build // inner builder: outer scope owns all
     inScope.set(true)
-    val df = try build finally inScope.set(false)
+    val df = try build
+      catch { case e: Throwable =>
+        pending.get().foreach(f =>
+          try f.unpersist(blocking = false) catch { case _: Throwable => () })
+        pending.set(Nil)
+        throw e
+      }
+      finally inScope.set(false)
     val captured = pending.get()
     pending.set(Nil)
     if (captured.nonEmpty)
@@ -99,9 +117,21 @@ object CacheScope {
       try f.unpersist(blocking = false) catch { case _: Throwable => () })
   }
 
-  /** Idempotently install the after-action release listener. */
+  /** Idempotently install the after-action release listener, plus a
+    * context-end hook that prunes the session's entries from the strong-
+    * keyed maps (ADVICE r6: a stopped session whose unconsumed scopes
+    * were never drained used to pin its plans and frames forever).
+    */
   def install(spark: SparkSession): Unit =
-    if (installed.add(spark))
+    if (installed.add(spark)) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            scopes.synchronized { scopes.remove(spark) } // context is dying;
+            installed.remove(spark)                      // no unpersist needed
+          }
+        })
       spark.listenerManager.register(new QueryExecutionListener {
         private def consumed(qe: QueryExecution): Unit = {
           val s = qe.sparkSession
@@ -126,4 +156,5 @@ object CacheScope {
         override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit =
           consumed(qe)
       })
+    }
 }

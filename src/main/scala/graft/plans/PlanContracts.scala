@@ -24,7 +24,14 @@ object PlanContracts {
       appName = "graft-plan-contracts")
 
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) =>
-      s"$n\t${PlanSignature.of(f(spark, "/root/testdata/sf0.001"))}"
+      val sig = s"$n\t${PlanSignature.of(f(spark, "/root/testdata/sf0.001"))}"
+      // plan-only consumer: no action ever runs, so the after-action
+      // listener can never release the builder's retained scope — drain
+      // per query or the CacheManager registrations accumulate AND later
+      // queries' plans can pick up InMemoryRelation substitutions from an
+      // earlier query's still-registered frames (r6 verdict #3)
+      graft.CacheScope.releaseAll(spark)
+      sig
     }
     Option(Paths.get(out).getParent).foreach(Files.createDirectories(_))
     Files.write(Paths.get(out), (lines.mkString("\n") + "\n").getBytes)

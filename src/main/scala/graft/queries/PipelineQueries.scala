@@ -289,10 +289,12 @@ object PipelineQueries {
       // shingle payloads, and the candidate set is tiny by construction.
       val docs = spread(s, t(s, dir, "documents"))
         .withColumn("sh", call_function("graft_shingles", col("text")))
-      val bands = docs
+      // retain, not a raw .cache(): the scope releases it after the
+      // consuming action, and plan-only sweeps can drain it (r6 #3 — a
+      // bare cache here was the one registration releaseAll couldn't see)
+      val bands = graft.CacheScope.retain(docs
         .select(col("doc_id"),
-          posexplode(bandKeys(col("sh"))).as(Seq("band_idx", "band_key")))
-        .cache()
+          posexplode(bandKeys(col("sh"))).as(Seq("band_idx", "band_key"))))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
@@ -329,21 +331,36 @@ object PipelineQueries {
     // (min(x,y), max(x,y)); each row is replicated to the ~B/2 tiles
     // it can appear in. Same pair set (the oracle is unchanged), but
     // the quadratic work is spread over ~B^2/2 tasks per block instead
-    // of one, and the cap scales by raising B with corpus size.
+    // of one.
+    //
+    // B is derived from the DATA, per block (r5 ask #8 / r6 verdict #6):
+    // B_blk = ceil(c_blk / T) keeps every tile at <= T^2 candidate
+    // pairs no matter how large a block grows — the old constant B=8
+    // under-split a dominant block at 100x (tile pairs ~ (c/8)^2 grows
+    // quadratically) and over-replicated tiny blocks. The block census
+    // is the same Sigma-c^2 machinery q_join_size_audit uses for its
+    // prediction arm, here broadcast back onto the rows as a COLUMN, so
+    // the choice is fully distributed — no driver-side collect.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val B = 8
+      val T = 256 // target bucket rows: per-tile pair work <= T^2
+      val base = spread(s, t(s, dir, "documents"))
+        .withColumn("sh", call_function("graft_shingles", col("text")))
+        .select("doc_id", "lang", "source", "sh")
+      val blocks = base.groupBy("lang", "source")
+        .agg(count(lit(1)).as("c"))
+        .select(col("lang"), col("source"),
+          greatest(lit(1), ceil(col("c") / T)).cast("int").as("nb"))
       // merge hint: broadcasting the shingled side would build it
       // single-threaded on the driver; SMJ keeps both sides parallel.
-      val docs = spread(s, t(s, dir, "documents"))
-        .withColumn("sh", call_function("graft_shingles", col("text")))
-        .withColumn("bk", pmod(xxhash64(col("doc_id")), lit(B)).cast("int"))
-        .select("doc_id", "lang", "source", "sh", "bk")
+      val docs = base.join(broadcast(blocks), Seq("lang", "source"))
+        .withColumn("bk", pmod(xxhash64(col("doc_id")), col("nb")).cast("int"))
+        .select("doc_id", "lang", "source", "sh", "bk", "nb")
       // tile (tp, tq), tp <= tq: the left side owns row-bucket tp and
       // fans out over tq >= bk; the right side owns tq, fanning tp <= bk.
       // A pair with buckets x < y matches only as (left=x, right=y);
       // x = y lands on the diagonal tile where doc_id < doc_id dedups.
       val a = docs.select(col("*"), col("bk").as("tp"),
-        explode(sequence(col("bk"), lit(B - 1))).as("tq")).hint("merge")
+        explode(sequence(col("bk"), col("nb") - 1)).as("tq")).hint("merge")
       val b = docs.select(col("*"), col("bk").as("tq"),
         explode(sequence(lit(0), col("bk"))).as("tp")).hint("merge")
       a.as("a").join(b.as("b"),

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gate's parser + flag logic, unit-tested against
+  * the COMMITTED baseline file (r6 verdict #1: the r6 gate shipped with
+  * a regex that parsed 0 of its own baseline's 317 entries, so the
+  * "machine-checked 2x gate" never fired — a parser with zero tests
+  * guarding a CI gate). No Spark session needed: these are pure
+  * functions precisely so they can be pinned here.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private lazy val committed: Map[String, Double] = {
+    val p = java.nio.file.Paths.get("BENCH_BASELINE.json")
+    assert(java.nio.file.Files.exists(p), "BENCH_BASELINE.json missing")
+    Bench.parseBaseline(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+  }
+
+  test("the committed BENCH_BASELINE.json parses to the full floor map") {
+    assert(committed.size >= 317,
+      s"parsed only ${committed.size} floors — the gate would be inert")
+    assert(committed.get("q_hash_agg").exists(_ > 0))
+    assert(committed.get("dedup_exact").exists(_ > 0))
+    // the non-query "note" field is a string and must not parse as a floor
+    assert(!committed.contains("note"))
+  }
+
+  test("parser tolerates both compact and pretty-printed colons") {
+    val b = Bench.parseBaseline("""{"a":1.5,"b": 0.25, "c" : 3}""")
+    assert(b == Map("a" -> 1.5, "b" -> 0.25, "c" -> 3.0))
+  }
+
+  test("2x-over-floor is flagged for floors above a second") {
+    val flagged = Bench.gate(Seq("q" -> 2.5), Map("q" -> 1.2))
+    assert(flagged.map(_._1) == Seq("q"))
+    assert(math.abs(flagged.head._2 - 2.5 / 1.2) < 1e-9)
+  }
+
+  test("a tiny-floor query degrading past floor+1s is flagged (r6 hole)") {
+    // the exact case the r6 gate's sub-0.3s exemption hid:
+    // multimodal_chunk_plan 0.11 -> 1.83 s (16x, invisible to the gate)
+    assert(Bench.gate(Seq("m" -> 1.83), Map("m" -> 0.11)).nonEmpty)
+  }
+
+  test("sub-second floors tolerate up to +1s of harness noise") {
+    // 0.3 -> 1.0 s is >2x but within the absolute-delta tolerance that
+    // replaces the old blanket sub-0.3 exemption
+    assert(Bench.gate(Seq("s" -> 1.0), Map("s" -> 0.3)).isEmpty)
+  }
+
+  test("heavy queries are not flagged for sub-2x run-to-run noise") {
+    assert(Bench.gate(Seq("g" -> 5.4), Map("g" -> 4.5)).isEmpty)
+  }
+
+  test("queries without a committed floor are not flagged") {
+    assert(Bench.gate(Seq("new_query" -> 99.0), Map("other" -> 1.0)).isEmpty)
+  }
+
+  test("flags sort worst-ratio-first") {
+    val flagged = Bench.gate(
+      Seq("a" -> 3.0, "b" -> 10.0),
+      Map("a" -> 1.0, "b" -> 1.0))
+    assert(flagged.map(_._1) == Seq("b", "a"))
+  }
+
+  test("a synthetic slowdown against the COMMITTED baseline is flagged") {
+    // end-to-end over the real file: parse -> gate; proves the shipped
+    // artifact and the arming logic compose (the r6 failure mode was
+    // each half "working" while the composition was a no-op)
+    val floor = committed("q_hash_agg")
+    val flagged = Bench.gate(Seq("q_hash_agg" -> (3 * floor + 2)), committed)
+    assert(flagged.map(_._1) == Seq("q_hash_agg"))
+  }
+}

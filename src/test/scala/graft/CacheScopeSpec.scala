@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.scalatest.BeforeAndAfterEach
 
 /** Pins the r5-verdict #5 contract: a query builder's retained persists
   * (iterative edge sets, supersteps) do not outlive the action that
@@ -9,8 +10,22 @@ import org.apache.spark.sql.DataFrame
   * clearCache cooperation. (Bench opts out via
   * spark.graft.cache.autoRelease=false to keep pass-2 cache reuse; the
   * default session — this suite's — has auto-release on.)
+  *
+  * Order independence (r6 verdict #2): the session is shared across all
+  * suites, and in the r6 full-suite run plan-only sweeps (PlanContractSpec)
+  * left hundreds of retained frames registered before this suite ran, so
+  * the global cache-empty assertions could never pass in suite order
+  * (while passing 5/5 in isolation). Each test now starts from a drained
+  * baseline, so the emptiness it asserts afterwards is ITS OWN query's —
+  * whatever earlier suites leaked is cleared, not inherited.
   */
-class CacheScopeSpec extends SparkSuite {
+class CacheScopeSpec extends SparkSuite with BeforeAndAfterEach {
+
+  override protected def beforeEach(): Unit = {
+    CacheScope.releaseAll(spark)
+    spark.catalog.clearCache()
+    super.beforeEach()
+  }
 
   private def cacheEmpty: Boolean = spark.sharedState.cacheManager.isEmpty
 
@@ -57,6 +72,49 @@ class CacheScopeSpec extends SparkSuite {
     }
     assert(df.collect().length == 5) // x is even, x % 10 in {0,2,4,6,8}
     awaitCacheEmpty("synthetic scope")
+  }
+
+  test("a builder that throws releases its retained frames immediately (ADVICE r6)") {
+    var kept: DataFrame = null
+    intercept[RuntimeException] {
+      CacheScope.scoped {
+        kept = CacheScope.retain(spark.range(100).toDF("id"))
+        throw new RuntimeException("builder blew up")
+      }
+    }
+    // nothing will ever consume the scope, so the frames must not wait
+    // for one — and must not be captured by the next scope on this thread
+    assert(kept.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "thrown builder's retained frame still persisted")
+    assert(cacheEmpty, "thrown builder left CacheManager registrations")
+    val df = CacheScope.scoped {
+      CacheScope.retain(spark.range(10).toDF("id")).groupBy().count()
+    }
+    assert(df.collect().length == 1)
+    awaitCacheEmpty("scope after a thrown builder")
+  }
+
+  test("retain outside any scope is a caller-owned persist (ADVICE r6)") {
+    val bare = CacheScope.retain(spark.range(50).toDF("id"))
+    assert(bare.storageLevel.useMemory, "retain must still persist")
+    // an unrelated scope on the same thread must not adopt-and-release it
+    var inner: DataFrame = null
+    val other = CacheScope.scoped {
+      inner = CacheScope.retain(spark.range(60).toDF("id"))
+      inner.groupBy().count()
+    }
+    assert(other.collect().length == 1)
+    // the scope's own frame releases after the action (async listener)...
+    val deadline = System.nanoTime() + 15e9.toLong
+    while (inner.storageLevel.useMemory && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(!inner.storageLevel.useMemory, "unrelated scope's own frame must release")
+    // ...but the bare retain is caller-owned and must survive untouched
+    assert(bare.storageLevel.useMemory,
+      "bare retain was adopted and released by an unrelated scope")
+    assert(!cacheEmpty)
+    bare.unpersist(blocking = true)
+    awaitCacheEmpty("caller-owned cleanup")
   }
 
   test("opt-out session conf leaves release to the harness") {

@@ -30,9 +30,20 @@ class PlanContractSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("every query's plan signature matches the committed contract") {
+    // self-contained baseline: whatever earlier suites left cached must
+    // not leak into this sweep's signatures or the leak-check below
+    graft.CacheScope.releaseAll(spark)
+    spark.catalog.clearCache()
     val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val actual = PlanSignature.of(q(spark, sf0001))
+        // plan-only consumer: no action ever fires the after-action
+        // release, so drain each query's retained scope here — both to
+        // keep this sweep from leaking 300+ CacheManager registrations
+        // into the shared test session (the r6 CacheScopeSpec failures)
+        // and to keep each signature independent of earlier queries'
+        // still-registered frames (r6 verdict #3)
+        graft.CacheScope.releaseAll(spark)
         contracts.get(name) match {
           case Some(expected) if expected == actual => None
           case Some(expected) =>
@@ -46,5 +57,17 @@ class PlanContractSpec extends AnyFunSuite with SparkSuite {
       (diffs ++ stale.map(s => s"$s: contract for deleted query"))
         .mkString("\n", "\n", "\n") +
         "intended? regenerate: sbt \"runMain graft.plans.PlanContracts\"")
+  }
+
+  test("the plan-only sweep leaves no CacheManager registrations (r6 #3)") {
+    // runs right after the sweep above (ScalaTest registration order):
+    // every one of the 317 queries was plan-built WITHOUT an action, so
+    // the after-action listener never fired — the per-query releaseAll
+    // drain must be the thing that kept the shared session clean. This
+    // is the leak class that broke the r6 full-suite run: PlanContractSpec
+    // ran before CacheScopeSpec and left 300+ retained frames registered.
+    graft.CacheScope.releaseAll(spark)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "plan-only query builds left persisted frames registered")
   }
 }

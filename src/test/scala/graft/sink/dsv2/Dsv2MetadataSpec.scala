@@ -89,7 +89,8 @@ class Dsv2MetadataSpec extends AnyFunSuite with SparkSuite {
     assert(scan.sql == "SELECT `id` FROM `t_srv`", scan.sql)
   }
 
-  test("runtime V2 filtering never advertises or renders _shard (ADVICE r5)") {
+  test("jdbc-path runtime V2 filtering: join-derived _shard IN (...) " +
+      "never reaches the server WHERE (ADVICE r5 / r6 #7)") {
     import org.apache.spark.sql.connector.expressions.{
       Expression => V2Expr, Expressions, Literal => V2Literal}
     import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
@@ -113,6 +114,9 @@ class Dsv2MetadataSpec extends AnyFunSuite with SparkSuite {
         Lit(7L, LongType)))))
     assert(scan.sql == "SELECT `id` FROM `t_rt` WHERE (`id` IN (7))",
       scan.sql)
+    // belt-and-braces: the rendered server statement mentions _shard
+    // nowhere — not in SELECT, not in WHERE
+    assert(!scan.sql.contains("_shard"), scan.sql)
   }
 
   test("a declared _shard DATA column takes precedence over the metadata column") {
