@@ -284,10 +284,13 @@ object Bench {
     // q_state_dwell / multimodal_chunk_plan / q_dedup_pair_recall front
     // the paths BENCH_r06 measured with 1.0-2.2 s of pass-1 JIT (verdict
     // r6 #5): each ran 2-16x over its floor purely on cold compilation.
+    // decontam_fuzzy joined in r7 for the same reason: its banded-edit-
+    // distance path showed 2.2 s of JIT in BOTH sweep passes (2.0 s vs a
+    // 0.45 s floor) yet runs 0.88 s warm — nothing else fronts that path.
     // Respects `only` so a single-query dev bisection stays single-query.
     Seq("q_hash_agg", "dedup_exact", "similarity_topk", "dedup_containment",
         "dedup_minhash_lsh", "q_state_dwell", "multimodal_chunk_plan",
-        "q_dedup_pair_recall")
+        "q_dedup_pair_recall", "decontam_fuzzy")
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
       .foreach(n => force(n, passIdx = 9)) // distinct group vs sweep passes
     clearAfter("warmup")

@@ -21,10 +21,20 @@ object Explain {
       val df = SparkEntry.queries(n)(spark, sfDir)
       df.explain("formatted")
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[explain] $n forced in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      println("== final adaptive plan ==")
-      println(df.queryExecution.executedPlan.toString.take(4000))
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[explain] $n forced in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println("== final adaptive plan ==")
+        println(df.queryExecution.executedPlan.toString.take(4000))
+      } finally {
+        // the noop save normally fires the after-action scope release,
+        // but a failed query must not strand its retained frames — and a
+        // clean cache keeps the NEXT query's printed plan free of this
+        // one's InMemoryRelation substitutions (r6 verdict #3: the same
+        // carryover polluted the committed plan contracts)
+        CacheScope.releaseAll(spark)
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

@@ -79,7 +79,8 @@ object SparkEntry {
     Round6gQueries.queries ++
     Round6hQueries.queries ++
     Round6iQueries.queries ++
-    Round6jQueries.queries
+    Round6jQueries.queries ++
+    Round7Queries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -131,5 +132,6 @@ object SparkEntry {
     Round6gQueries.oracle ++
     Round6hQueries.oracle ++
     Round6iQueries.oracle ++
-    Round6jQueries.oracle
+    Round6jQueries.oracle ++
+    Round7Queries.oracle
 }
