@@ -49,10 +49,17 @@ object Round5gQueries {
     // triangles: orientation changes the intermediate sizes, never the
     // triangle set.
     "graph_triangles" -> ((s, dir) => {
-      val e = coEdges(s, dir)
-      val deg = e.select(col("a").as("v"))
-        .unionAll(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
+      // e feeds 3 consumers (degree table, orientation join, edge
+      // count) and deg feeds 3 (two orientation joins, the stats agg):
+      // without a retain each consumer re-derives the lineitem
+      // self-join + 1.2M-pair distinct from scratch — the re-derivation,
+      // not the intersect, is most of this query's task CPU. Retained
+      // frames release with the scope after the consuming action.
+      val e = graft.CacheScope.retain(coEdges(s, dir))
+      val deg = graft.CacheScope.retain(
+        e.select(col("a").as("v"))
+          .unionAll(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d")))
       // orient each edge from the smaller (degree, id) endpoint
       val keyed = e
         .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
@@ -73,15 +80,20 @@ object Round5gQueries {
       // (Σ outdeg² — 41M at sf0.1, 34× the edge count): the intersect
       // runs inside one expression over the 1.2M edge rows, and the
       // out-lists are O(√m)-bounded per node by the orientation (max
-      // out-degree 97 here), so each array payload stays small.
+      // out-degree 97 here), so each array payload stays small. Lists
+      // are SORTED once per node so the per-edge intersect is a
+      // primitive two-pointer merge (graft_lsorted_intersect_size) —
+      // array_intersect's per-row boxed hash set was this query's
+      // dominant CPU cost (r7: 70-120 s of task time at sf0.1).
+      graft.expressions.LongArrayExpressions.register(s)
       val adjOut = oriented.groupBy(col("src").as("u"))
-        .agg(collect_list(col("dst")).as("nbrs"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       val triangles = oriented
         .join(adjOut, col("src") === col("u"))
         .join(adjOut.select(col("u").as("u2"), col("nbrs").as("nbrs2")),
           col("dst") === col("u2"), "left") // sink nodes have no out-list
-        .select(size(array_intersect(col("nbrs"),
-          coalesce(col("nbrs2"), array().cast("array<bigint>")))).as("c"))
+        .select(call_function("graft_lsorted_intersect_size", col("nbrs"),
+          coalesce(col("nbrs2"), array().cast("array<bigint>"))).as("c"))
         .agg(sum(col("c")).cast("long").as("n_triangles"))
       val stats = deg.agg(
         count(lit(1)).as("n_nodes"),

@@ -164,10 +164,14 @@ object Round5rQueries {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .distinct()
-      val adj = pairs
-        .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-      val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
-        .withColumnRenamed("a", "v")
+      // adj feeds four consumers (seed edges, the wedge join, the
+      // known-neighbor anti join, the degree table): retained so the
+      // lineitem self-join + distinct is derived once, not per consumer
+      val adj = graft.CacheScope.retain(pairs
+        .unionAll(pairs.select(col("b").as("a"), col("a").as("b"))))
+      val deg = graft.CacheScope.retain(
+        adj.groupBy("a").agg(count(lit(1)).as("deg"))
+          .withColumnRenamed("a", "v"))
       val seeds = t(s, dir, "part")
         .filter(col("p_partkey") % 100 === 0)
         .select(col("p_partkey").as("a"))

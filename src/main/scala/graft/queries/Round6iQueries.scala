@@ -38,10 +38,14 @@ object Round6iQueries {
     // the intersect payloads stay small; the explode materializes only
     // true triangles (3 rows each), never the wedge set.
     "q_local_clustering" -> ((s, dir) => {
-      val e = Round5gQueries.coEdges(s, dir)
-      val deg = e.select(col("a").as("v"))
-        .unionAll(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
+      // e and deg both feed multiple consumers (orientation joins, the
+      // final degree filter): retained once instead of re-deriving the
+      // lineitem self-join + distinct per consumer (see graph_triangles)
+      val e = graft.CacheScope.retain(Round5gQueries.coEdges(s, dir))
+      val deg = graft.CacheScope.retain(
+        e.select(col("a").as("v"))
+          .unionAll(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d")))
       val keyed = e
         .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
         .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
@@ -50,19 +54,23 @@ object Round6iQueries {
           struct(col("a").as("src"), col("b").as("dst")))
           .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
         .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      graft.expressions.LongArrayExpressions.register(s)
       val adjOut = oriented.groupBy(col("src").as("u"))
-        .agg(collect_list(col("dst")).as("nbrs"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       // one explode per triangle VERTEX: the apex list is concatenated
       // with the two endpoints and flattened in a single pass, so the
       // expensive listing subtree is evaluated exactly once (a triple
       // unionAll over the same subtree would recompute the joins 3x —
-      // measured 20.7 s vs 7 s at sf0.1)
+      // measured 20.7 s vs 7 s at sf0.1). The intersection itself is the
+      // primitive sorted-merge (graft_lsorted_intersect) over lists
+      // sorted once per node — array_intersect's per-row boxed hash set
+      // dominated this query's 117 s of task CPU at sf0.1.
       val triVerts = oriented
         .join(adjOut, col("src") === col("u"))
         .join(adjOut.select(col("u").as("u2"), col("nbrs").as("nbrs2")),
           col("dst") === col("u2"), "left")
         .select(col("src"), col("dst"),
-          array_intersect(col("nbrs"),
+          call_function("graft_lsorted_intersect", col("nbrs"),
             coalesce(col("nbrs2"), array().cast("array<bigint>"))).as("ws"))
         .filter(size(col("ws")) > 0)
         .select(explode(concat(array(col("src"), col("dst")),
@@ -91,10 +99,13 @@ object Round6iQueries {
     // BIGINTs; r is computed once in double at the end. At 100x this
     // is two broadcast-degree joins + one global integer aggregate.
     "q_degree_assortativity" -> ((s, dir) => {
-      val e = Round5gQueries.coEdges(s, dir)
-      val deg = e.select(col("a").as("v"))
-        .unionAll(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
+      // e feeds the degree table and both edge orientations; deg joins
+      // twice — retain both (see graph_triangles)
+      val e = graft.CacheScope.retain(Round5gQueries.coEdges(s, dir))
+      val deg = graft.CacheScope.retain(
+        e.select(col("a").as("v"))
+          .unionAll(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d")))
       val both = e.select(col("a").as("x"), col("b").as("y"))
         .unionAll(e.select(col("b").as("x"), col("a").as("y")))
       val pairs = both
@@ -125,10 +136,13 @@ object Round6iQueries {
     // one mirrored division per row. At 100x: two high-cardinality
     // hash joins plus a 4-row aggregate; nothing quadratic.
     "q_rich_club" -> ((s, dir) => {
-      val e = Round5gQueries.coEdges(s, dir)
-      val deg = e.select(col("a").as("v"))
-        .unionAll(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
+      // e feeds deg + the threshold join; deg joins on both endpoints
+      // and aggregates node counts — retain both (see graph_triangles)
+      val e = graft.CacheScope.retain(Round5gQueries.coEdges(s, dir))
+      val deg = graft.CacheScope.retain(
+        e.select(col("a").as("v"))
+          .unionAll(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d")))
       val ks = Seq(60L, 100L, 140L, 180L)
       val keyed = e
         .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
@@ -159,7 +173,9 @@ object Round6iQueries {
     // BOTH endpoints in the brand; density = 2e / (n(n-1)). The brand
     // dimension is a broadcast; edges shuffle once on the part key.
     "q_brand_subgraph_density" -> ((s, dir) => {
-      val e = Round5gQueries.coEdges(s, dir)
+      // e feeds the node census and the intra-brand edge count —
+      // retained so the lineitem self-join + distinct runs once
+      val e = graft.CacheScope.retain(Round5gQueries.coEdges(s, dir))
       val brand = broadcast(t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand")))
       val nodes = e.select(col("a").as("v"))
