@@ -135,11 +135,13 @@ object Round3eQueries {
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast(dec)).cast("double").as("monetary"))
       val maxd = o.select(max(col("o_orderdate").cast("date")).as("max_d"))
-      val base = per.crossJoin(broadcast(maxd))
+      // retained: withNtiles over three metrics consumes base for the
+      // quantile probe, the bucket projection, and the offset aggregate
+      val base = graft.CacheScope.retain(per.crossJoin(broadcast(maxd))
         .withColumn("recency_days", datediff(col("max_d"), col("last_d")))
         .withColumn("__m_r", col("recency_days").cast("double"))
         .withColumn("__m_f", -col("freq").cast("double"))
-        .withColumn("__m_m", -col("monetary"))
+        .withColumn("__m_m", -col("monetary")))
       GlobalRank.withNtiles(base,
           Seq("__m_r" -> "r_score", "__m_f" -> "f_score",
             "__m_m" -> "m_score"),

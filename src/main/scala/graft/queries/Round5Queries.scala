@@ -47,11 +47,15 @@ object Round5Queries {
       sum(size(split(col("text"), " "))).as("sum_dl")))
     // dl rides the explode (functionally dependent on doc_id), so tf
     // needs no join back to a per-doc length table
-    val tf = docs
+    // tf feeds both the document-frequency aggregate and the scoring
+    // join: retained so the corpus tokenize + explode runs once, not
+    // once per consumer (the tf OUTPUT is tiny — docs x query terms —
+    // but its derivation is a full-corpus scan)
+    val tf = graft.CacheScope.retain(docs
       .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
         explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
     val df = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df")))
     val contrib = tf.join(df, "term").crossJoin(stats)
       .withColumn("idf",

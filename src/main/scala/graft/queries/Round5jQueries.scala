@@ -77,11 +77,13 @@ object Round5jQueries {
     // shuffles after that.
     "q_degree_dist" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val e = li.as("x").join(li.as("y"),
+      // e feeds both unionAll branches of the degree table: retained so
+      // the self-join + distinct derives once (see graph_triangles)
+      val e = graft.CacheScope.retain(li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+        .distinct())
       val deg = e.select(col("a").as("v"))
         .unionAll(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))

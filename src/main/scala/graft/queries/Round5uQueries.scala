@@ -37,11 +37,15 @@ object Round5uQueries {
     // min-support cut (≥3) is what keeps the rule table meaningful AND
     // bounded at scale — rare pairs are noise with huge lifts.
     "q_basket_lift" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
+      // li feeds four consumers (basket count, support table, both
+      // sides of the pair self-join) and supp joins twice: retained so
+      // the scan + distinct and the support aggregate derive once
+      val li = graft.CacheScope.retain(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct())
       val nBaskets = li.select("l_orderkey").distinct()
         .agg(count(lit(1)).as("n_baskets"))
-      val supp = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      val supp = graft.CacheScope.retain(
+        li.groupBy("l_partkey").agg(count(lit(1)).as("c")))
       val pairs = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
@@ -68,14 +72,17 @@ object Round5uQueries {
     // vocabulary-cardinality keys, scales with the corpus.
     "q_ngram_lm_next" -> ((s, dir) => {
       val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val bigrams = t(s, dir, "documents")
+      // bigrams feeds the unigram-count aggregate AND the ranked
+      // output: retained so the corpus posexplode + lead window runs
+      // once, not once per consumer
+      val bigrams = graft.CacheScope.retain(t(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
         .withColumn("tok", lower(col("tok")))
         .filter(length(col("tok")) > 0)
         .withColumn("next", lead(col("tok"), 1).over(byDoc))
         .filter(col("next").isNotNull)
-        .groupBy("tok", "next").agg(count(lit(1)).as("c_pair"))
+        .groupBy("tok", "next").agg(count(lit(1)).as("c_pair")))
       val toks = bigrams.groupBy("tok").agg(sum("c_pair").as("c_tok"))
       val rk = Window.partitionBy("tok")
         .orderBy(col("c_pair").desc, col("next"))

@@ -154,10 +154,13 @@ object Round5zQueries {
     // C = the tail. Same prefix-sum decomposition; per-class counts and
     // revenue share.
     "q_abc_class" -> ((s, dir) => {
-      val rev = t(s, dir, "lineitem")
+      // rev feeds GlobalRank (quantile probe + rank plan) and the
+      // corpus-total aggregate: retained so the lineitem aggregation
+      // derives once
+      val rev = graft.CacheScope.retain(t(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg(sum(floor(col("l_extendedprice") * 100.0).cast("long"))
-          .as("cents"))
+          .as("cents")))
       val ranked = graft.operators.GlobalRank.withRank(
         rev, -col("cents"), col("l_partkey"), "rk")
       val cum = withPrefixSum(ranked, "rk", "cents", "cum_cents")

@@ -48,9 +48,13 @@ object Round6aQueries {
         .filter(col("cents1").isNotNull && col("cents2").isNotNull)
         .withColumn("neg1", -col("cents1"))
         .withColumn("neg2", -col("cents2"))
+        // retained: withNtiles consumes its input three times
+        // (approxQuantile probe, bucket projection, offset aggregate)
+        .transform(graft.CacheScope.retain)
       val ranked = graft.operators.GlobalRank.withNtiles(both,
         Seq("neg1" -> "d1", "neg2" -> "d2"), col("o_custkey"), 10)
-      val cells = ranked.groupBy("d1", "d2").agg(count(lit(1)).as("n"))
+      val cells = graft.CacheScope.retain(
+        ranked.groupBy("d1", "d2").agg(count(lit(1)).as("n")))
       val rowTot = cells.groupBy("d1").agg(sum("n").as("n_from"))
       cells.join(broadcast(rowTot), "d1")
         .withColumn("row_share", col("n").cast("double") / col("n_from"))
