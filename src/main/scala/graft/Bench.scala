@@ -288,9 +288,15 @@ object Bench {
     // distance path showed 2.2 s of JIT in BOTH sweep passes (2.0 s vs a
     // 0.45 s floor) yet runs 0.88 s warm — nothing else fronts that path.
     // Respects `only` so a single-query dev bisection stays single-query.
+    // q_bloom_join / dedup_ngram_jaccard joined in r7: both flapped the
+    // gate on pure JIT (bloom probe codegen 1.5-4.8 s even on pass 2;
+    // tile-census path 3-7 s of compile against a warm task-time equal
+    // to their floors) — fronting their paths untimed is the r6-verdict
+    // remedy for exactly this class.
     Seq("q_hash_agg", "dedup_exact", "similarity_topk", "dedup_containment",
         "dedup_minhash_lsh", "q_state_dwell", "multimodal_chunk_plan",
-        "q_dedup_pair_recall", "decontam_fuzzy")
+        "q_dedup_pair_recall", "decontam_fuzzy", "q_bloom_join",
+        "dedup_ngram_jaccard")
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
       .foreach(n => force(n, passIdx = 9)) // distinct group vs sweep passes
     clearAfter("warmup")

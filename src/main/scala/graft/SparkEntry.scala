@@ -80,7 +80,8 @@ object SparkEntry {
     Round6hQueries.queries ++
     Round6iQueries.queries ++
     Round6jQueries.queries ++
-    Round7Queries.queries
+    Round7Queries.queries ++
+    Round7bQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -133,5 +134,6 @@ object SparkEntry {
     Round6hQueries.oracle ++
     Round6iQueries.oracle ++
     Round6jQueries.oracle ++
-    Round7Queries.oracle
+    Round7Queries.oracle ++
+    Round7bQueries.oracle
 }

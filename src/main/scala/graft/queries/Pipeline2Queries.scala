@@ -446,7 +446,7 @@ object Pipeline2Queries {
   )
 
   /** Distinct word-5-gram shingles per doc (mirrors graft_shingles5). */
-  private val grams5Cte =
+  private[queries] val grams5Cte =
     """g5 AS (
       |  SELECT doc_id,
       |    list_distinct([array_to_string(ws[i:i+4], ' ')
