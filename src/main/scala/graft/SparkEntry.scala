@@ -81,7 +81,8 @@ object SparkEntry {
     Round6iQueries.queries ++
     Round6jQueries.queries ++
     Round7Queries.queries ++
-    Round7bQueries.queries
+    Round7bQueries.queries ++
+    Round7cQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -135,5 +136,6 @@ object SparkEntry {
     Round6iQueries.oracle ++
     Round6jQueries.oracle ++
     Round7Queries.oracle ++
-    Round7bQueries.oracle
+    Round7bQueries.oracle ++
+    Round7cQueries.oracle
 }
