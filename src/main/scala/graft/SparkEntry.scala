@@ -82,7 +82,8 @@ object SparkEntry {
     Round6jQueries.queries ++
     Round7Queries.queries ++
     Round7bQueries.queries ++
-    Round7cQueries.queries
+    Round7cQueries.queries ++
+    Round7dQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -137,5 +138,6 @@ object SparkEntry {
     Round6jQueries.oracle ++
     Round7Queries.oracle ++
     Round7bQueries.oracle ++
-    Round7cQueries.oracle
+    Round7cQueries.oracle ++
+    Round7dQueries.oracle
 }
