@@ -83,7 +83,8 @@ object SparkEntry {
     Round7Queries.queries ++
     Round7bQueries.queries ++
     Round7cQueries.queries ++
-    Round7dQueries.queries
+    Round7dQueries.queries ++
+    Round7eQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -139,5 +140,6 @@ object SparkEntry {
     Round7Queries.oracle ++
     Round7bQueries.oracle ++
     Round7cQueries.oracle ++
-    Round7dQueries.oracle
+    Round7dQueries.oracle ++
+    Round7eQueries.oracle
 }
