@@ -84,7 +84,8 @@ object SparkEntry {
     Round7bQueries.queries ++
     Round7cQueries.queries ++
     Round7dQueries.queries ++
-    Round7eQueries.queries
+    Round7eQueries.queries ++
+    Round7fQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -141,5 +142,6 @@ object SparkEntry {
     Round7bQueries.oracle ++
     Round7cQueries.oracle ++
     Round7dQueries.oracle ++
-    Round7eQueries.oracle
+    Round7eQueries.oracle ++
+    Round7fQueries.oracle
 }
