@@ -85,7 +85,8 @@ object SparkEntry {
     Round7cQueries.queries ++
     Round7dQueries.queries ++
     Round7eQueries.queries ++
-    Round7fQueries.queries
+    Round7fQueries.queries ++
+    Round7gQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -143,5 +144,6 @@ object SparkEntry {
     Round7cQueries.oracle ++
     Round7dQueries.oracle ++
     Round7eQueries.oracle ++
-    Round7fQueries.oracle
+    Round7fQueries.oracle ++
+    Round7gQueries.oracle
 }
