@@ -149,21 +149,28 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
   /** The 2x regression gate, with an absolute-delta clause: a query is
-    * flagged when its time exceeds max(2 x floor, floor + 1.0 s).
-    *  - 2x floor is the headline gate for floors >= 1 s.
-    *  - floor + 1.0 s closes the sub-second hole: the r6 gate exempted
+    * flagged when its time exceeds max(2 x floor, floor + 1.5 s).
+    *  - 2x floor is the headline gate for floors >= 1.5 s.
+    *  - floor + 1.5 s closes the sub-second hole: the r6 gate exempted
     *    floors < 0.3 s as harness-resolution noise, which hid a 0.11 s
     *    query degrading to 1.83 s (16x). A sub-second floor now tolerates
-    *    noise up to +1 s and no further, so a trivial query that goes
+    *    bounded noise and no further, so a trivial query that goes
     *    slow by a human-visible amount is flagged even though its RATIO
-    *    denominators are tiny.
+    *    denominators are tiny. The tolerance is 1.5 s, not 1.0: with
+    *    356 queries in one JVM, back-to-back sweeps of identical code
+    *    showed 1-2 s of concurrent-JIT noise landing on a DIFFERENT
+    *    random handful of sub-second queries each sweep (each of them
+    *    at its floor when re-measured warm) — at +1.0 every sweep
+    *    flagged a fresh set of false positives, at +1.5 none of the
+    *    observed noise crosses while a real 0.1 -> 1.8 s degradation
+    *    still does.
     * Reported value is t/floor (the ratio), sorted worst-first.
     */
   private[graft] def gate(results: Seq[(String, Double)],
                           baseline: Map[String, Double]): Seq[(String, Double)] =
     results.flatMap { case (n, t) =>
       baseline.get(n).collect {
-        case b if t > math.max(2 * b, b + 1.0) => n -> (t / b)
+        case b if t > math.max(2 * b, b + 1.5) => n -> (t / b)
       }
     }.sortBy(-_._2)
 

@@ -32,10 +32,10 @@ class BenchGateSpec extends AnyFunSuite {
     assert(b == Map("a" -> 1.5, "b" -> 0.25, "c" -> 3.0))
   }
 
-  test("2x-over-floor is flagged for floors above a second") {
-    val flagged = Bench.gate(Seq("q" -> 2.5), Map("q" -> 1.2))
+  test("2x-over-floor is flagged for floors where 2x dominates the delta") {
+    val flagged = Bench.gate(Seq("q" -> 3.3), Map("q" -> 1.6))
     assert(flagged.map(_._1) == Seq("q"))
-    assert(math.abs(flagged.head._2 - 2.5 / 1.2) < 1e-9)
+    assert(math.abs(flagged.head._2 - 3.3 / 1.6) < 1e-9)
   }
 
   test("a tiny-floor query degrading past floor+1s is flagged (r6 hole)") {
@@ -44,10 +44,15 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.gate(Seq("m" -> 1.83), Map("m" -> 0.11)).nonEmpty)
   }
 
-  test("sub-second floors tolerate up to +1s of harness noise") {
+  test("sub-second floors tolerate up to +1.5s of harness noise") {
     // 0.3 -> 1.0 s is >2x but within the absolute-delta tolerance that
-    // replaces the old blanket sub-0.3 exemption
+    // replaces the old blanket sub-0.3 exemption; 0.33 -> 1.53 s is the
+    // exact concurrent-JIT flap a 356-query sweep produced on identical
+    // code (warm re-measure at the floor) — also tolerated
     assert(Bench.gate(Seq("s" -> 1.0), Map("s" -> 0.3)).isEmpty)
+    assert(Bench.gate(Seq("j" -> 1.53), Map("j" -> 0.33)).isEmpty)
+    // but the tolerance is bounded: past floor+1.5 the flag fires
+    assert(Bench.gate(Seq("x" -> 1.9), Map("x" -> 0.33)).nonEmpty)
   }
 
   test("heavy queries are not flagged for sub-2x run-to-run noise") {
