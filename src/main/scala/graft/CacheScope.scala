@@ -62,6 +62,35 @@ object CacheScope {
   private def enabled(s: SparkSession): Boolean =
     s.conf.get(ConfKey, "true") == "true"
 
+  /** Drop map entries whose session's context has stopped (r7 ADVICE
+    * low: the strong-keyed `scopes`/`installed` maps pinned a stopped
+    * session — and transitively its plans and frames — forever if its
+    * scopes were never consumed or drained). There is no public
+    * per-session stop listener in Spark, so the prune is swept on the
+    * shared map's touch points: every `scoped` binding and every
+    * `consumed` callback from ANY live session clears the dead ones.
+    * The onApplicationEnd hook (install) remains the immediate path
+    * when the whole context dies. No unpersist for dead sessions: their
+    * block manager is gone with the context.
+    *
+    * `isDead` is injectable only for the spec — stopping a real context
+    * would kill the suite's shared session.
+    */
+  private[graft] def pruneStopped(
+      isDead: SparkSession => Boolean = _.sparkContext.isStopped): Unit = {
+    val dead = scopes.synchronized {
+      val d = scopes.keys.filter(s =>
+        try isDead(s) catch { case _: Throwable => true }).toList
+      d.foreach(scopes.remove)
+      d
+    }
+    dead.foreach(installed.remove)
+  }
+
+  // spec hook: current number of sessions with open scopes
+  private[graft] def openSessionCount: Int =
+    scopes.synchronized(scopes.size)
+
   /** Persist `df` (MEMORY_AND_DISK); released with the enclosing scope
     * after the action that consumes the scope's result, when the session
     * has auto-release on (the default outside the bench harness).
@@ -101,12 +130,14 @@ object CacheScope {
       finally inScope.set(false)
     val captured = pending.get()
     pending.set(Nil)
-    if (captured.nonEmpty)
+    if (captured.nonEmpty) {
+      pruneStopped()
       scopes.synchronized {
         scopes(df.sparkSession) =
           Scope(df.queryExecution.analyzed, captured) ::
             scopes.getOrElse(df.sparkSession, Nil)
       }
+    }
     df
   }
 
@@ -135,6 +166,7 @@ object CacheScope {
       spark.listenerManager.register(new QueryExecutionListener {
         private def consumed(qe: QueryExecution): Unit = {
           val s = qe.sparkSession
+          pruneStopped() // sweep dead sessions on any live session's action
           val open = scopes.synchronized { scopes.getOrElse(s, Nil) }
           if (open.nonEmpty) {
             // an action consumed a scope iff its analyzed plan contains

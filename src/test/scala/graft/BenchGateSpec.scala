@@ -70,6 +70,46 @@ class BenchGateSpec extends AnyFunSuite {
     assert(flagged.map(_._1) == Seq("b", "a"))
   }
 
+  // ---- tolerance pin (r7 verdict #4) -------------------------------
+  // The absolute-delta clause is PINNED at floor + 1.5 s. It moved
+  // 1.0 -> 1.5 in r7 (with per-pass JIT false-positive evidence) and
+  // two consecutive rounds of definition movement is the limit: any
+  // future change to the constant must ship with per-pass JIT evidence
+  // in the commit AND update these exact-boundary cases.
+  test("gate tolerance is pinned at floor + 1.5 s (boundary cases)") {
+    // floor 1.0: threshold = max(2.0, 2.5) = 2.5 — the +1.5 clause rules
+    assert(Bench.gate(Seq("a" -> 2.6), Map("a" -> 1.0)).nonEmpty,
+      "floor+1.6 must be flagged")
+    assert(Bench.gate(Seq("a" -> 2.4), Map("a" -> 1.0)).isEmpty,
+      "floor+1.4 must NOT be flagged")
+    // floor 3.0: threshold = max(6.0, 4.5) = 6.0 — the 2x clause rules
+    assert(Bench.gate(Seq("b" -> 6.1), Map("b" -> 3.0)).nonEmpty)
+    assert(Bench.gate(Seq("b" -> 5.9), Map("b" -> 3.0)).isEmpty)
+  }
+
+  // ---- re-measure coverage (r7 verdict #2) -------------------------
+  test("a sub-3s gate-flagged query gets the extra passes") {
+    // the exact r7 escape: q_source_diversity 2.48 s vs floor 0.214 —
+    // under the 3.0 s outlier cutoff, so the old rule never re-measured
+    // it and the flag shipped on a 2-pass cold reading
+    assert(Bench.needsRemeasure(2.48, cutoff = 3.0, floor = Some(0.214)))
+  }
+
+  test("outlier cutoff still triggers re-measure without a floor") {
+    assert(Bench.needsRemeasure(4.0, cutoff = 3.0, floor = None))
+    assert(!Bench.needsRemeasure(2.0, cutoff = 3.0, floor = None))
+  }
+
+  test("a query at its floor is not re-measured") {
+    assert(!Bench.needsRemeasure(0.25, cutoff = 3.0, floor = Some(0.214)))
+    // inside the gate tolerance: no flag, no extra passes
+    assert(!Bench.needsRemeasure(1.5, cutoff = 3.0, floor = Some(0.9)))
+  }
+
+  test("penalty entries (both passes failed) are never re-measured") {
+    assert(!Bench.needsRemeasure(600.0, cutoff = 3.0, floor = Some(0.2)))
+  }
+
   test("a synthetic slowdown against the COMMITTED baseline is flagged") {
     // end-to-end over the real file: parse -> gate; proves the shipped
     // artifact and the arming logic compose (the r6 failure mode was

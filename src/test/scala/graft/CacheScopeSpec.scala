@@ -117,6 +117,29 @@ class CacheScopeSpec extends SparkSuite with BeforeAndAfterEach {
     awaitCacheEmpty("caller-owned cleanup")
   }
 
+  test("stopped sessions are pruned from the scope map (ADVICE r7)") {
+    // a session with an open (never-consumed) scope used to pin its
+    // plans and frames in the strong-keyed map forever once it stopped.
+    // The predicate is injected because actually stopping a context
+    // would kill the suite's shared session — the production default is
+    // _.sparkContext.isStopped, exercised on every scoped/consumed touch.
+    val s2 = spark.newSession()
+    val df = CacheScope.scoped {
+      val s2range = s2.range(100).toDF("id")
+      CacheScope.retain(s2range)
+    }
+    assert(CacheScope.openSessionCount >= 1, "scope was not registered")
+    val before = CacheScope.openSessionCount
+    // prune with a predicate matching only s2 — the 'stopped' session
+    CacheScope.pruneStopped(isDead = _ eq s2)
+    assert(CacheScope.openSessionCount == before - 1,
+      "stopped session's scopes were not pruned")
+    // in the test the session is not truly dead — drop its block manually
+    df.unpersist(blocking = true)
+    spark.catalog.clearCache()
+    awaitCacheEmpty("prune cleanup")
+  }
+
   test("opt-out session conf leaves release to the harness") {
     val prev = spark.conf.get(CacheScope.ConfKey, "true")
     try {
