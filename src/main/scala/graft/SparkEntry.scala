@@ -86,7 +86,8 @@ object SparkEntry {
     Round7dQueries.queries ++
     Round7eQueries.queries ++
     Round7fQueries.queries ++
-    Round7gQueries.queries
+    Round7gQueries.queries ++
+    Round8aQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -145,5 +146,6 @@ object SparkEntry {
     Round7dQueries.oracle ++
     Round7eQueries.oracle ++
     Round7fQueries.oracle ++
-    Round7gQueries.oracle
+    Round7gQueries.oracle ++
+    Round8aQueries.oracle
 }
