@@ -87,7 +87,8 @@ object SparkEntry {
     Round7eQueries.queries ++
     Round7fQueries.queries ++
     Round7gQueries.queries ++
-    Round8aQueries.queries
+    Round8aQueries.queries ++
+    Round8bQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -147,5 +148,6 @@ object SparkEntry {
     Round7eQueries.oracle ++
     Round7fQueries.oracle ++
     Round7gQueries.oracle ++
-    Round8aQueries.oracle
+    Round8aQueries.oracle ++
+    Round8bQueries.oracle
 }

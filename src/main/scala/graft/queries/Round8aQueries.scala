@@ -50,20 +50,27 @@ object Round8aQueries {
   private val S2 = "||"
 
   /** Token list from the boundary-marked string form. */
-  private def toks(c: Column): Column =
+  private[queries] def toks(c: Column): Column =
     filter(split(c, "\\|\\|"), x => x =!= "")
+
+  /** Boundary-marked character tokenization of a word column. */
+  private[queries] def charToks(w: Column): Column =
+    concat(lit(S2), regexp_replace(w, "(.)", "$1" + S2))
 
   /** Word-frequency dict in string form: the classic BPE training input.
     * One corpus explode + combine-aggregated count; everything after is
-    * vocab-sized.
+    * vocab-sized. The original word rides along so trained token counts
+    * can join back to any per-document / per-language breakdown.
     */
-  private def bpeVocab0(s: SparkSession, dir: String): DataFrame =
-    PipelineQueries.spread(s, t(s, dir, "documents"))
-      .select(explode(split(col("text"), " ")).as("w"))
+  private[queries] def bpeVocab0(words: DataFrame): DataFrame =
+    words
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(concat(lit(S2), regexp_replace(col("w"), "(.)", "$1" + S2))
-        .as("s"), col("freq"))
+      .select(col("w"), charToks(col("w")).as("s"), col("freq"))
+
+  private[queries] def docWords(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.spread(s, t(s, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("w"))
 
   /** One BPE training iteration: (argmax-merge 1-row frame (l,r,cnt),
     * next vocab with the merge applied). The argmax is a combine-
@@ -71,9 +78,10 @@ object Round8aQueries {
     * total tie-break (count desc, then pair text) — deterministic at any
     * parallelism; the winning pair broadcasts back over the vocab. No
     * driver-side collect anywhere: the merge table is assembled as a
-    * union of the k one-row frames.
+    * union of the k one-row frames. Columns other than `s` pass through
+    * the merge application untouched.
     */
-  private def bpeStep(cur: DataFrame): (DataFrame, DataFrame) = {
+  private[queries] def bpeStep(cur: DataFrame): (DataFrame, DataFrame) = {
     val pairs = cur.select(col("freq"), toks(col("s")).as("tk"))
       // guard: sequence(1, 0) is DESCENDING [1,0] in Spark, so
       // single-token words must not reach the transform
@@ -87,15 +95,27 @@ object Round8aQueries {
       .agg(sum("freq").cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
       .transform(graft.CacheScope.retain)
+    val others = cur.columns.filterNot(_ == "s").map(col)
     val next = cur.crossJoin(broadcast(top.select("l", "r")))
       .select(replace(col("s"),
           concat(lit(S), col("l"), lit(S2), col("r"), lit(S)),
-          concat(lit(S), col("l"), col("r"), lit(S))).as("s"),
-        col("freq"))
+          concat(lit(S), col("l"), col("r"), lit(S))).as("s") +: others: _*)
     (top, next)
   }
 
-  private val BpeK = 5
+  /** Train k merges; returns (merge frames 1..k, final vocab dict). */
+  private[queries] def bpeTrain(vocab0: DataFrame, k: Int)
+      : (Seq[DataFrame], DataFrame) = {
+    var cur = vocab0.transform(graft.CacheScope.retain)
+    val merges = (1 to k).map { i =>
+      val (top, next) = bpeStep(cur)
+      cur = next.transform(graft.CacheScope.retain)
+      top.withColumn("iter", lit(i))
+    }
+    (merges, cur)
+  }
+
+  private[queries] val BpeK = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -105,12 +125,7 @@ object Round8aQueries {
     // broadcast — at 100 TB the corpus is touched exactly once (the
     // initial word count).
     "bpe_train_loop" -> ((s, dir) => {
-      var cur = bpeVocab0(s, dir).transform(graft.CacheScope.retain)
-      val merges = (1 to BpeK).map { i =>
-        val (top, next) = bpeStep(cur)
-        cur = next.transform(graft.CacheScope.retain)
-        top.withColumn("iter", lit(i))
-      }
+      val (merges, _) = bpeTrain(bpeVocab0(docWords(s, dir)), BpeK)
       merges.reduce(_ unionAll _)
         .select(col("iter"),
           col("l").as("merge_left"), col("r").as("merge_right"),
@@ -124,7 +139,7 @@ object Round8aQueries {
     // merge budget. Same loop; per-iteration total is a one-row
     // aggregate of freq x token-count over the vocab dict.
     "bpe_compression_curve" -> ((s, dir) => {
-      var cur = bpeVocab0(s, dir).transform(graft.CacheScope.retain)
+      var cur = bpeVocab0(docWords(s, dir)).transform(graft.CacheScope.retain)
       val counts = (0 to BpeK).map { i =>
         if (i > 0) {
           val (_, next) = bpeStep(cur)
@@ -230,15 +245,18 @@ object Round8aQueries {
     }),
   )
 
-  /** DuckDB oracles. The BPE loop is unrolled (k CTE triplets: pair
-    * counts -> argmax -> replace-applied vocab); the star-contraction
-    * CC shares dedup_cc_labels' recursive-CTE closure — same fixed
-    * point by construction.
+  /** Unrolled BPE CTE chain for the DuckDB oracles (k triplets: pair
+    * counts -> argmax -> replace-applied vocab). `prefix` namespaces the
+    * CTEs so two independently-trained chains (e.g. corpus halves) can
+    * coexist in one statement; `wordsSrc` is the SQL producing the word
+    * stream (column `w`). The original word rides through every w_i so
+    * trained token counts can join back to any breakdown.
     */
-  val oracle: Map[String, String] = {
+  private[queries] def bpeOracleCtes(prefix: String, wordsSrc: String,
+                                     k: Int = BpeK): String = {
     def iterCtes(i: Int): String = {
-      val prev = s"w${i - 1}"
-      s"""p$i AS (
+      val prev = s"${prefix}w${i - 1}"
+      s"""${prefix}p$i AS (
          |  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
          |  FROM (
          |    SELECT freq, unnest([struct_pack(l := tk[k], r := tk[k+1])
@@ -248,23 +266,33 @@ object Round8aQueries {
          |          FROM $prev)
          |  ) GROUP BY 1, 2
          |),
-         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |w$i AS (
-         |  SELECT replace(s, '|' || m.l || '||' || m.r || '|',
+         |${prefix}m$i AS (
+         |  SELECT l, r, cnt FROM ${prefix}p$i
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |${prefix}w$i AS (
+         |  SELECT w, replace(s, '|' || m.l || '||' || m.r || '|',
          |                 '|' || m.l || m.r || '|') AS s, freq
-         |  FROM $prev CROSS JOIN m$i m
+         |  FROM $prev CROSS JOIN ${prefix}m$i m
          |)""".stripMargin
     }
-    val base =
-      """WITH w0 AS (
-        |  SELECT '||' || regexp_replace(w, '(.)', '\1||', 'g') AS s,
-        |         COUNT(*) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE len(w) >= 1
-        |  GROUP BY 1
-        |),
-        |""".stripMargin +
-        (1 to BpeK).map(iterCtes).mkString(",\n")
+    s"""${prefix}w0 AS (
+       |  SELECT w, '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS s,
+       |         COUNT(*) AS freq
+       |  FROM ($wordsSrc)
+       |  WHERE len(w) >= 1
+       |  GROUP BY 1, 2
+       |),
+       |""".stripMargin + (1 to k).map(iterCtes).mkString(",\n")
+  }
+
+  private[queries] val AllWordsSrc =
+    "SELECT unnest(string_split(text, ' ')) AS w FROM documents"
+
+  /** DuckDB oracles. The star-contraction CC shares dedup_cc_labels'
+    * recursive-CTE closure — same fixed point by construction.
+    */
+  val oracle: Map[String, String] = {
+    val base = "WITH " + bpeOracleCtes("", AllWordsSrc)
     val mergeArms = (1 to BpeK).map(i =>
       s"""SELECT $i AS iter, l AS merge_left, r AS merge_right,
          |  l || r AS merged, cnt AS pair_count FROM m$i""".stripMargin)
