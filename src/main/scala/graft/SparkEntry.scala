@@ -88,7 +88,8 @@ object SparkEntry {
     Round7fQueries.queries ++
     Round7gQueries.queries ++
     Round8aQueries.queries ++
-    Round8bQueries.queries
+    Round8bQueries.queries ++
+    Round8cQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -149,5 +150,6 @@ object SparkEntry {
     Round7fQueries.oracle ++
     Round7gQueries.oracle ++
     Round8aQueries.oracle ++
-    Round8bQueries.oracle
+    Round8bQueries.oracle ++
+    Round8cQueries.oracle
 }
