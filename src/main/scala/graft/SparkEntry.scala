@@ -89,7 +89,8 @@ object SparkEntry {
     Round7gQueries.queries ++
     Round8aQueries.queries ++
     Round8bQueries.queries ++
-    Round8cQueries.queries
+    Round8cQueries.queries ++
+    Round8dQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -151,5 +152,6 @@ object SparkEntry {
     Round7gQueries.oracle ++
     Round8aQueries.oracle ++
     Round8bQueries.oracle ++
-    Round8cQueries.oracle
+    Round8cQueries.oracle ++
+    Round8dQueries.oracle
 }

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic transcendental stand-ins shared with the DuckDB oracle.
+  *
+  * `java.lang.Math.log` is NOT a stable function of its argument across
+  * call sites in one JVM: HotSpot compiles hot paths to an Intel
+  * LIBM-derived dlog intrinsic while cold paths run the fdlibm fallback,
+  * and the two differ in the last ulp on some arguments (observed live:
+  * q_kl_sources' kl_term for 2 of 31 tokens differed between the
+  * window-sort path and the aggregate path of the SAME query in the same
+  * JVM). fdlibm (StrictMath) and glibc (DuckDB's ln) disagree on ~0.9%
+  * of integer arguments (measured over 1..500000), so no libm choice
+  * matches the oracle bit-for-bit either.
+  *
+  * `dln` therefore computes ln from IEEE-deterministic primitives only —
+  * +, -, *, / and a bit-width exponent split — with the SAME arithmetic
+  * shape the SQL macro `DetMath.dlnSql` emits for DuckDB. Both engines
+  * evaluate the identical operation DAG, so the doubles agree bitwise
+  * regardless of JIT state or libm version:
+  *
+  *   x = m * 2^e,  e = bitwidth(x) - 1  (x a positive BIGINT), m in [1,2)
+  *   z = (m-1)/(m+1);  ln(m) = 2z * (1 + z^2/3 + z^4/5 + ... + z^18/19)
+  *   ln(x) = e * LN2 + ln(m)
+  *
+  * The atanh series is truncated after the z^18/19 term: |z| <= 1/3 so
+  * the absolute error is below 1e-11 — a modeling constant of the
+  * queries that use it (an NLL or KL figure at 1e-11 is far inside any
+  * decision threshold), in exchange for run-to-run and engine-to-engine
+  * bit stability that no libm provides.
+  */
+object DetMath {
+
+  private val Ln2 = 0.6931471805599453
+  private val OddK = Seq(17, 15, 13, 11, 9, 7, 5, 3)
+
+  /** Deterministic natural log of a positive integral column. */
+  def dln(x: Column): Column = {
+    val e = (length(bin(x)) - 1).cast("int")
+    val m = x.cast("double") /
+      call_function("shiftleft", lit(1L), e).cast("double")
+    val z = (m - 1) / (m + 1)
+    val z2 = z * z
+    val inner = OddK.foldLeft(lit(1.0) / 19)((acc, k) =>
+      lit(1.0) / k + z2 * acc)
+    e.cast("double") * lit(Ln2) + lit(2.0) * z * (lit(1.0) + z2 * inner)
+  }
+
+  /** The same operation DAG as `dln`, as DuckDB SQL over column names
+    * `e`, `z`, `z2` (stage them in CTEs with `dlnPrepSql`).
+    */
+  def dlnSql(e: String, z: String, z2: String): String = {
+    val inner = OddK.foldLeft("1.0 / 19")((acc, k) =>
+      s"1.0 / $k + $z2 * ($acc)")
+    s"CAST($e AS DOUBLE) * 6.931471805599453e-1 + 2.0 * $z * (1.0 + $z2 * ($inner))"
+  }
+
+  /** SQL for the exponent / mantissa-ratio stages: returns the three
+    * expressions (e, z, z2) for integral SQL expression `x` — select
+    * them into consecutive CTE layers (z references e, z2 references z).
+    */
+  def dlnESql(x: String): String = s"LENGTH(BIN($x)) - 1"
+  def dlnZSql(x: String, e: String): String =
+    s"(CAST($x AS DOUBLE) / CAST((CAST(1 AS BIGINT) << ($e)) AS DOUBLE) - 1) / " +
+      s"(CAST($x AS DOUBLE) / CAST((CAST(1 AS BIGINT) << ($e)) AS DOUBLE) + 1)"
+}
