@@ -90,7 +90,8 @@ object SparkEntry {
     Round8aQueries.queries ++
     Round8bQueries.queries ++
     Round8cQueries.queries ++
-    Round8dQueries.queries
+    Round8dQueries.queries ++
+    Round8eQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -153,5 +154,6 @@ object SparkEntry {
     Round8aQueries.oracle ++
     Round8bQueries.oracle ++
     Round8cQueries.oracle ++
-    Round8dQueries.oracle
+    Round8dQueries.oracle ++
+    Round8eQueries.oracle
 }
