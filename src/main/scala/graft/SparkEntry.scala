@@ -91,7 +91,8 @@ object SparkEntry {
     Round8bQueries.queries ++
     Round8cQueries.queries ++
     Round8dQueries.queries ++
-    Round8eQueries.queries
+    Round8eQueries.queries ++
+    Round8fQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -155,5 +156,6 @@ object SparkEntry {
     Round8bQueries.oracle ++
     Round8cQueries.oracle ++
     Round8dQueries.oracle ++
-    Round8eQueries.oracle
+    Round8eQueries.oracle ++
+    Round8fQueries.oracle
 }

@@ -65,4 +65,20 @@ object DetMath {
   def dlnZSql(x: String, e: String): String =
     s"(CAST($x AS DOUBLE) / CAST((CAST(1 AS BIGINT) << ($e)) AS DOUBLE) - 1) / " +
       s"(CAST($x AS DOUBLE) / CAST((CAST(1 AS BIGINT) << ($e)) AS DOUBLE) + 1)"
+
+  /** CTE chain staging the deterministic ln of integral expression `x`
+    * over base CTE `from` (carrying columns `keep`): emits `<name>`
+    * with keep ++ the ln as `as`. Chain several to stage several lns.
+    */
+  def lnCtesSql(name: String, from: String, keep: String, x: String,
+      as: String): String =
+    s"""${name}_e AS (
+       |  SELECT $keep, ${dlnESql(x)} AS e FROM $from
+       |), ${name}_z AS (
+       |  SELECT $keep, e, ${dlnZSql(x, "e")} AS z FROM ${name}_e
+       |), ${name}_w AS (
+       |  SELECT $keep, e, z, z * z AS z2 FROM ${name}_z
+       |), $name AS (
+       |  SELECT $keep, ${dlnSql("e", "z", "z2")} AS $as FROM ${name}_w
+       |)""".stripMargin
 }

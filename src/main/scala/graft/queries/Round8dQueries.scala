@@ -183,23 +183,9 @@ object Round8dQueries {
     }),
   )
 
-  import graft.functions.DetMath.{dlnESql, dlnZSql, dlnSql}
-
-  /** CTE chain staging DetMath's deterministic ln of `x` over base CTE
-    * `from` (carrying columns `keep`): emits `<name>` with keep ++ the
-    * ln as `as`.
-    */
   private def lnCtes(name: String, from: String, keep: String, x: String,
       as: String): String =
-    s"""${name}_e AS (
-       |  SELECT $keep, ${dlnESql(x)} AS e FROM $from
-       |), ${name}_z AS (
-       |  SELECT $keep, e, ${dlnZSql(x, "e")} AS z FROM ${name}_e
-       |), ${name}_w AS (
-       |  SELECT $keep, e, z, z * z AS z2 FROM ${name}_z
-       |), $name AS (
-       |  SELECT $keep, ${dlnSql("e", "z", "z2")} AS $as FROM ${name}_w
-       |)""".stripMargin
+    graft.functions.DetMath.lnCtesSql(name, from, keep, x, as)
 
   val oracle: Map[String, String] = Map(
     "q_unigram_nll" ->
