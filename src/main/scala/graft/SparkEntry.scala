@@ -92,7 +92,8 @@ object SparkEntry {
     Round8cQueries.queries ++
     Round8dQueries.queries ++
     Round8eQueries.queries ++
-    Round8fQueries.queries
+    Round8fQueries.queries ++
+    Round8gQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -157,5 +158,6 @@ object SparkEntry {
     Round8cQueries.oracle ++
     Round8dQueries.oracle ++
     Round8eQueries.oracle ++
-    Round8fQueries.oracle
+    Round8fQueries.oracle ++
+    Round8gQueries.oracle
 }
