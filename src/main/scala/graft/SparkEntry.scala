@@ -93,7 +93,8 @@ object SparkEntry {
     Round8dQueries.queries ++
     Round8eQueries.queries ++
     Round8fQueries.queries ++
-    Round8gQueries.queries
+    Round8gQueries.queries ++
+    Round8hQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -159,5 +160,6 @@ object SparkEntry {
     Round8dQueries.oracle ++
     Round8eQueries.oracle ++
     Round8fQueries.oracle ++
-    Round8gQueries.oracle
+    Round8gQueries.oracle ++
+    Round8hQueries.oracle
 }
