@@ -94,7 +94,8 @@ object SparkEntry {
     Round8eQueries.queries ++
     Round8fQueries.queries ++
     Round8gQueries.queries ++
-    Round8hQueries.queries
+    Round8hQueries.queries ++
+    Round8iQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -161,5 +162,6 @@ object SparkEntry {
     Round8eQueries.oracle ++
     Round8fQueries.oracle ++
     Round8gQueries.oracle ++
-    Round8hQueries.oracle
+    Round8hQueries.oracle ++
+    Round8iQueries.oracle
 }
