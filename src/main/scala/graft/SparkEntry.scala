@@ -95,7 +95,8 @@ object SparkEntry {
     Round8fQueries.queries ++
     Round8gQueries.queries ++
     Round8hQueries.queries ++
-    Round8iQueries.queries
+    Round8iQueries.queries ++
+    Round8jQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -163,5 +164,6 @@ object SparkEntry {
     Round8fQueries.oracle ++
     Round8gQueries.oracle ++
     Round8hQueries.oracle ++
-    Round8iQueries.oracle
+    Round8iQueries.oracle ++
+    Round8jQueries.oracle
 }
