@@ -96,7 +96,8 @@ object SparkEntry {
     Round8gQueries.queries ++
     Round8hQueries.queries ++
     Round8iQueries.queries ++
-    Round8jQueries.queries
+    Round8jQueries.queries ++
+    Round8kQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -165,5 +166,6 @@ object SparkEntry {
     Round8gQueries.oracle ++
     Round8hQueries.oracle ++
     Round8iQueries.oracle ++
-    Round8jQueries.oracle
+    Round8jQueries.oracle ++
+    Round8kQueries.oracle
 }
