@@ -97,7 +97,8 @@ object SparkEntry {
     Round8hQueries.queries ++
     Round8iQueries.queries ++
     Round8jQueries.queries ++
-    Round8kQueries.queries
+    Round8kQueries.queries ++
+    Round8lQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -167,5 +168,6 @@ object SparkEntry {
     Round8hQueries.oracle ++
     Round8iQueries.oracle ++
     Round8jQueries.oracle ++
-    Round8kQueries.oracle
+    Round8kQueries.oracle ++
+    Round8lQueries.oracle
 }
