@@ -98,7 +98,8 @@ object SparkEntry {
     Round8iQueries.queries ++
     Round8jQueries.queries ++
     Round8kQueries.queries ++
-    Round8lQueries.queries
+    Round8lQueries.queries ++
+    Round8mQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -169,5 +170,6 @@ object SparkEntry {
     Round8iQueries.oracle ++
     Round8jQueries.oracle ++
     Round8kQueries.oracle ++
-    Round8lQueries.oracle
+    Round8lQueries.oracle ++
+    Round8mQueries.oracle
 }
