@@ -99,7 +99,8 @@ object SparkEntry {
     Round8jQueries.queries ++
     Round8kQueries.queries ++
     Round8lQueries.queries ++
-    Round8mQueries.queries
+    Round8mQueries.queries ++
+    Round8nQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -171,5 +172,6 @@ object SparkEntry {
     Round8jQueries.oracle ++
     Round8kQueries.oracle ++
     Round8lQueries.oracle ++
-    Round8mQueries.oracle
+    Round8mQueries.oracle ++
+    Round8nQueries.oracle
 }

@@ -66,6 +66,51 @@ object DetMath {
     s"(CAST($x AS DOUBLE) / CAST((CAST(1 AS BIGINT) << ($e)) AS DOUBLE) - 1) / " +
       s"(CAST($x AS DOUBLE) / CAST((CAST(1 AS BIGINT) << ($e)) AS DOUBLE) + 1)"
 
+  /** Deterministic e^x for NONNEGATIVE double columns (x < 43):
+    * split x = k ln2 + r with k = floor(x/ln2), r in [0, ln2); e^r by
+    * the 13-term Taylor Horner; e^x = 2^k * e^r. Same caveats and
+    * guarantees as `dln` — identical operation DAG as `dexpSql`,
+    * absolute relative error < 1e-11, bitwise stable across engines
+    * and JIT states.
+    */
+  def dexp(x: Column): Column = {
+    val k = floor(x / lit(Ln2)).cast("int")
+    val r = x - k.cast("double") * lit(Ln2)
+    val acc1 = (2 to 13).reverse.foldLeft(lit(1.0))((acc, j) =>
+      lit(1.0) + (r / j) * acc)
+    val ser = lit(1.0) + r * acc1
+    call_function("shiftleft", lit(1L), k).cast("double") * ser
+  }
+
+  /** The same operation DAG as `dexp`, as DuckDB SQL over staged
+    * column names `k` (INT) and `r` (DOUBLE) — stage them with
+    * dexpKSql/dexpRSql.
+    */
+  def dexpSql(k: String, r: String): String = {
+    val acc1 = (2 to 13).reverse.foldLeft("1.0")((acc, j) =>
+      s"1.0 + ($r / $j) * ($acc)")
+    s"CAST((CAST(1 AS BIGINT) << ($k)) AS DOUBLE) * (1.0 + $r * ($acc1))"
+  }
+
+  def dexpKSql(x: String): String =
+    s"CAST(floor(($x) / 6.931471805599453e-1) AS INT)"
+  def dexpRSql(x: String, k: String): String =
+    s"($x) - CAST($k AS DOUBLE) * 6.931471805599453e-1"
+
+  /** CTE chain staging the deterministic e^x of double expression `x`
+    * over base CTE `from` (carrying columns `keep`): emits `<name>`
+    * with keep ++ the exp as `as`.
+    */
+  def expCtesSql(name: String, from: String, keep: String, x: String,
+      as: String): String =
+    s"""${name}_k AS (
+       |  SELECT $keep, ${dexpKSql(x)} AS k FROM $from
+       |), ${name}_r AS (
+       |  SELECT $keep, k, ${dexpRSql(x, "k")} AS r FROM ${name}_k
+       |), $name AS (
+       |  SELECT $keep, ${dexpSql("k", "r")} AS $as FROM ${name}_r
+       |)""".stripMargin
+
   /** CTE chain staging the deterministic ln of integral expression `x`
     * over base CTE `from` (carrying columns `keep`): emits `<name>`
     * with keep ++ the ln as `as`. Chain several to stage several lns.
