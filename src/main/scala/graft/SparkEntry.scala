@@ -100,7 +100,8 @@ object SparkEntry {
     Round8kQueries.queries ++
     Round8lQueries.queries ++
     Round8mQueries.queries ++
-    Round8nQueries.queries
+    Round8nQueries.queries ++
+    Round8oQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -173,5 +174,6 @@ object SparkEntry {
     Round8kQueries.oracle ++
     Round8lQueries.oracle ++
     Round8mQueries.oracle ++
-    Round8nQueries.oracle
+    Round8nQueries.oracle ++
+    Round8oQueries.oracle
 }

@@ -66,6 +66,34 @@ object DetMath {
     s"(CAST($x AS DOUBLE) / CAST((CAST(1 AS BIGINT) << ($e)) AS DOUBLE) - 1) / " +
       s"(CAST($x AS DOUBLE) / CAST((CAST(1 AS BIGINT) << ($e)) AS DOUBLE) + 1)"
 
+  /** Deterministic ln for POSITIVE double columns (x >= 2^-32):
+    * defined as dln of the 2^-32-quantized argument — ln(floor(x*2^32))
+    * - 32 ln2. The quantization (relative error <= 1/(x*2^32), i.e.
+    * < 2.4e-10 for x >= 1) is part of the operator's definition: both
+    * engines quantize identically, so the result is bitwise stable,
+    * which no libm ln of the raw double can promise. Use dln for
+    * integral arguments (exact); use this when the argument is itself
+    * a computed double (softmax shares, Gumbel keys).
+    */
+  def dlnD(x: Column): Column =
+    dln(floor(x * lit(4294967296.0)).cast("long")) - lit(32.0) * lit(Ln2)
+
+  /** CTE chain staging dlnD of double expression `x`: quantizes into
+    * `<name>_q` then reuses the integral staging.
+    */
+  def lnDCtesSql(name: String, from: String, keep: String, x: String,
+      as: String): String =
+    s"""${name}_q AS (
+       |  SELECT $keep, CAST(floor(($x) * 4294967296.0) AS BIGINT) AS qv
+       |  FROM $from
+       |), ${lnCtesSql(name + "_i", name + "_q", s"$keep, qv", "qv",
+           as + "_i")},
+       |$name AS (
+       |  SELECT $keep,
+       |    ${as}_i - 32.0 * 6.931471805599453e-1 AS $as
+       |  FROM ${name}_i
+       |)""".stripMargin
+
   /** Deterministic e^x for NONNEGATIVE double columns (x < 43):
     * split x = k ln2 + r with k = floor(x/ln2), r in [0, ln2); e^r by
     * the 13-term Taylor Horner; e^x = 2^k * e^r. Same caveats and
