@@ -101,7 +101,8 @@ object SparkEntry {
     Round8lQueries.queries ++
     Round8mQueries.queries ++
     Round8nQueries.queries ++
-    Round8oQueries.queries
+    Round8oQueries.queries ++
+    Round8pQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -175,5 +176,6 @@ object SparkEntry {
     Round8lQueries.oracle ++
     Round8mQueries.oracle ++
     Round8nQueries.oracle ++
-    Round8oQueries.oracle
+    Round8oQueries.oracle ++
+    Round8pQueries.oracle
 }

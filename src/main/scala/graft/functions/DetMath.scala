@@ -84,10 +84,11 @@ object DetMath {
   def lnDCtesSql(name: String, from: String, keep: String, x: String,
       as: String): String =
     s"""${name}_q AS (
-       |  SELECT $keep, CAST(floor(($x) * 4294967296.0) AS BIGINT) AS qv
+       |  SELECT $keep,
+       |    CAST(floor(($x) * 4294967296.0) AS BIGINT) AS __dm_q
        |  FROM $from
-       |), ${lnCtesSql(name + "_i", name + "_q", s"$keep, qv", "qv",
-           as + "_i")},
+       |), ${lnCtesSql(name + "_i", name + "_q", s"$keep, __dm_q",
+           "__dm_q", as + "_i")},
        |$name AS (
        |  SELECT $keep,
        |    ${as}_i - 32.0 * 6.931471805599453e-1 AS $as
@@ -132,11 +133,13 @@ object DetMath {
   def expCtesSql(name: String, from: String, keep: String, x: String,
       as: String): String =
     s"""${name}_k AS (
-       |  SELECT $keep, ${dexpKSql(x)} AS k FROM $from
+       |  SELECT $keep, ${dexpKSql(x)} AS __dm_k FROM $from
        |), ${name}_r AS (
-       |  SELECT $keep, k, ${dexpRSql(x, "k")} AS r FROM ${name}_k
+       |  SELECT $keep, __dm_k, ${dexpRSql(x, "__dm_k")} AS __dm_r
+       |  FROM ${name}_k
        |), $name AS (
-       |  SELECT $keep, ${dexpSql("k", "r")} AS $as FROM ${name}_r
+       |  SELECT $keep, ${dexpSql("__dm_k", "__dm_r")} AS $as
+       |  FROM ${name}_r
        |)""".stripMargin
 
   /** CTE chain staging the deterministic ln of integral expression `x`
@@ -146,12 +149,15 @@ object DetMath {
   def lnCtesSql(name: String, from: String, keep: String, x: String,
       as: String): String =
     s"""${name}_e AS (
-       |  SELECT $keep, ${dlnESql(x)} AS e FROM $from
+       |  SELECT $keep, ${dlnESql(x)} AS __dm_e FROM $from
        |), ${name}_z AS (
-       |  SELECT $keep, e, ${dlnZSql(x, "e")} AS z FROM ${name}_e
+       |  SELECT $keep, __dm_e, ${dlnZSql(x, "__dm_e")} AS __dm_z
+       |  FROM ${name}_e
        |), ${name}_w AS (
-       |  SELECT $keep, e, z, z * z AS z2 FROM ${name}_z
+       |  SELECT $keep, __dm_e, __dm_z, __dm_z * __dm_z AS __dm_z2
+       |  FROM ${name}_z
        |), $name AS (
-       |  SELECT $keep, ${dlnSql("e", "z", "z2")} AS $as FROM ${name}_w
+       |  SELECT $keep, ${dlnSql("__dm_e", "__dm_z", "__dm_z2")} AS $as
+       |  FROM ${name}_w
        |)""".stripMargin
 }
