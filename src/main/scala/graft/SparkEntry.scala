@@ -102,7 +102,8 @@ object SparkEntry {
     Round8mQueries.queries ++
     Round8nQueries.queries ++
     Round8oQueries.queries ++
-    Round8pQueries.queries
+    Round8pQueries.queries ++
+    Round8qQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -177,5 +178,6 @@ object SparkEntry {
     Round8mQueries.oracle ++
     Round8nQueries.oracle ++
     Round8oQueries.oracle ++
-    Round8pQueries.oracle
+    Round8pQueries.oracle ++
+    Round8qQueries.oracle
 }
