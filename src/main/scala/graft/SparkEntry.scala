@@ -103,7 +103,9 @@ object SparkEntry {
     Round8nQueries.queries ++
     Round8oQueries.queries ++
     Round8pQueries.queries ++
-    Round8qQueries.queries
+    Round8qQueries.queries ++
+    Round8rQueries.queries ++
+    Round8sQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -179,5 +181,7 @@ object SparkEntry {
     Round8nQueries.oracle ++
     Round8oQueries.oracle ++
     Round8pQueries.oracle ++
-    Round8qQueries.oracle
+    Round8qQueries.oracle ++
+    Round8rQueries.oracle ++
+    Round8sQueries.oracle
 }
