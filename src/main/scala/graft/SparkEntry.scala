@@ -105,7 +105,8 @@ object SparkEntry {
     Round8pQueries.queries ++
     Round8qQueries.queries ++
     Round8rQueries.queries ++
-    Round8sQueries.queries
+    Round8sQueries.queries ++
+    Round8tQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -183,5 +184,6 @@ object SparkEntry {
     Round8pQueries.oracle ++
     Round8qQueries.oracle ++
     Round8rQueries.oracle ++
-    Round8sQueries.oracle
+    Round8sQueries.oracle ++
+    Round8tQueries.oracle
 }
