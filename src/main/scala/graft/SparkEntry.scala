@@ -106,7 +106,8 @@ object SparkEntry {
     Round8qQueries.queries ++
     Round8rQueries.queries ++
     Round8sQueries.queries ++
-    Round8tQueries.queries
+    Round8tQueries.queries ++
+    Round8uQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -185,5 +186,6 @@ object SparkEntry {
     Round8qQueries.oracle ++
     Round8rQueries.oracle ++
     Round8sQueries.oracle ++
-    Round8tQueries.oracle
+    Round8tQueries.oracle ++
+    Round8uQueries.oracle
 }
