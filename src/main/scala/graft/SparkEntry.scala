@@ -107,7 +107,8 @@ object SparkEntry {
     Round8rQueries.queries ++
     Round8sQueries.queries ++
     Round8tQueries.queries ++
-    Round8uQueries.queries
+    Round8uQueries.queries ++
+    Round8vQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -187,5 +188,6 @@ object SparkEntry {
     Round8rQueries.oracle ++
     Round8sQueries.oracle ++
     Round8tQueries.oracle ++
-    Round8uQueries.oracle
+    Round8uQueries.oracle ++
+    Round8vQueries.oracle
 }
