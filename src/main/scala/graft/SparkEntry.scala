@@ -108,7 +108,8 @@ object SparkEntry {
     Round8sQueries.queries ++
     Round8tQueries.queries ++
     Round8uQueries.queries ++
-    Round8vQueries.queries
+    Round8vQueries.queries ++
+    Round8wQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -189,5 +190,6 @@ object SparkEntry {
     Round8sQueries.oracle ++
     Round8tQueries.oracle ++
     Round8uQueries.oracle ++
-    Round8vQueries.oracle
+    Round8vQueries.oracle ++
+    Round8wQueries.oracle
 }
