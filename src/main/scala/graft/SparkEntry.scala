@@ -109,7 +109,8 @@ object SparkEntry {
     Round8tQueries.queries ++
     Round8uQueries.queries ++
     Round8vQueries.queries ++
-    Round8wQueries.queries
+    Round8wQueries.queries ++
+    Round8xQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -191,5 +192,6 @@ object SparkEntry {
     Round8tQueries.oracle ++
     Round8uQueries.oracle ++
     Round8vQueries.oracle ++
-    Round8wQueries.oracle
+    Round8wQueries.oracle ++
+    Round8xQueries.oracle
 }
