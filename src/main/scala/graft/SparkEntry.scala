@@ -110,7 +110,8 @@ object SparkEntry {
     Round8uQueries.queries ++
     Round8vQueries.queries ++
     Round8wQueries.queries ++
-    Round8xQueries.queries
+    Round8xQueries.queries ++
+    Round8yQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -193,5 +194,6 @@ object SparkEntry {
     Round8uQueries.oracle ++
     Round8vQueries.oracle ++
     Round8wQueries.oracle ++
-    Round8xQueries.oracle
+    Round8xQueries.oracle ++
+    Round8yQueries.oracle
 }
