@@ -111,7 +111,8 @@ object SparkEntry {
     Round8vQueries.queries ++
     Round8wQueries.queries ++
     Round8xQueries.queries ++
-    Round8yQueries.queries
+    Round8yQueries.queries ++
+    Round8zQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -195,5 +196,6 @@ object SparkEntry {
     Round8vQueries.oracle ++
     Round8wQueries.oracle ++
     Round8xQueries.oracle ++
-    Round8yQueries.oracle
+    Round8yQueries.oracle ++
+    Round8zQueries.oracle
 }
