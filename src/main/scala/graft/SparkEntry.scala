@@ -112,7 +112,8 @@ object SparkEntry {
     Round8wQueries.queries ++
     Round8xQueries.queries ++
     Round8yQueries.queries ++
-    Round8zQueries.queries
+    Round8zQueries.queries ++
+    Round8aaQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -197,5 +198,6 @@ object SparkEntry {
     Round8wQueries.oracle ++
     Round8xQueries.oracle ++
     Round8yQueries.oracle ++
-    Round8zQueries.oracle
+    Round8zQueries.oracle ++
+    Round8aaQueries.oracle
 }
