@@ -113,7 +113,8 @@ object SparkEntry {
     Round8xQueries.queries ++
     Round8yQueries.queries ++
     Round8zQueries.queries ++
-    Round8aaQueries.queries
+    Round8aaQueries.queries ++
+    Round8abQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -199,5 +200,6 @@ object SparkEntry {
     Round8xQueries.oracle ++
     Round8yQueries.oracle ++
     Round8zQueries.oracle ++
-    Round8aaQueries.oracle
+    Round8aaQueries.oracle ++
+    Round8abQueries.oracle
 }
