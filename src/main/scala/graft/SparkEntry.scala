@@ -114,7 +114,8 @@ object SparkEntry {
     Round8yQueries.queries ++
     Round8zQueries.queries ++
     Round8aaQueries.queries ++
-    Round8abQueries.queries
+    Round8abQueries.queries ++
+    Round8acQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -201,5 +202,6 @@ object SparkEntry {
     Round8yQueries.oracle ++
     Round8zQueries.oracle ++
     Round8aaQueries.oracle ++
-    Round8abQueries.oracle
+    Round8abQueries.oracle ++
+    Round8acQueries.oracle
 }
