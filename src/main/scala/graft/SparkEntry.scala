@@ -115,7 +115,8 @@ object SparkEntry {
     Round8zQueries.queries ++
     Round8aaQueries.queries ++
     Round8abQueries.queries ++
-    Round8acQueries.queries
+    Round8acQueries.queries ++
+    Round8adQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -203,5 +204,6 @@ object SparkEntry {
     Round8zQueries.oracle ++
     Round8aaQueries.oracle ++
     Round8abQueries.oracle ++
-    Round8acQueries.oracle
+    Round8acQueries.oracle ++
+    Round8adQueries.oracle
 }
