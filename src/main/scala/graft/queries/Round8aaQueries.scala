@@ -116,9 +116,11 @@ object Round8aaQueries {
         .join(broadcast(blocks.as("b")), col("b.blk") < col("a.blk"))
         .groupBy(col("a.blk").as("blk"), col("a.first_t").as("first_t"))
         .agg(max_by(col("b.last_t"), col("b.blk")).as("prev_last"))
+      // coalesce: with a single block (tiny sf) the predecessor join
+      // is empty and SUM would return NULL
       val bchanges = prevBlk.agg(
-        sum(when(col("prev_last") =!= col("first_t"), 1L)
-          .otherwise(0L)).as("b_changes"))
+        coalesce(sum(when(col("prev_last") =!= col("first_t"), 1L)
+          .otherwise(0L)), lit(0L)).as("b_changes"))
       val arrival = within.crossJoin(broadcast(bchanges))
         .select(lit("1_arrival_order").as("ordering"), col("n_rows"),
           (col("in_changes") + col("b_changes") + 1).as("n_runs"))
