@@ -174,6 +174,20 @@ object Bench {
       }
     }.sortBy(-_._2)
 
+  /** Non-gating watchlist (r8 verdict #2): queries whose min exceeds
+    * 2x their floor but escape the pinned `floor + 1.5 s` clause —
+    * i.e. the drift the absolute-delta shelter hides (23 such queries
+    * in r8 were invisible without reading per-pass details by hand).
+    * Reported value is t/floor; does NOT affect the gate or exit code.
+    */
+  private[graft] def watchlist(results: Seq[(String, Double)],
+                               baseline: Map[String, Double]): Seq[(String, Double)] =
+    results.flatMap { case (n, t) =>
+      baseline.get(n).collect {
+        case b if t > 2 * b && t <= math.max(2 * b, b + 1.5) => n -> (t / b)
+      }
+    }.sortBy(-_._2)
+
   /** Should this query get the two extra end-of-sweep passes? (r7 verdict
     * #2: the old cutoff-only rule, max(3 s, 5x median), missed
     * q_source_diversity at 2.48 s — gate-flagged at 11.6x its 0.214 s
@@ -417,6 +431,16 @@ object Bench {
     // regression gate vs the committed per-query floor (loaded above,
     // before the re-measure step)
     val regressions = gate(results, baseline)
+    // non-gating >2x-floor shelter watchlist, each entry carrying the
+    // JIT seconds of its fastest ok pass so a JIT-explained entry is
+    // distinguishable from real drift without opening BENCH_DETAILS
+    val watch = watchlist(results, baseline)
+    val watchJson = watch.map { case (n, r) =>
+      val jit = passLog.get(n)
+        .flatMap(ps => ps.filter(_.ok).sortBy(_.t).headOption)
+        .map(_.jitS).getOrElse(0.0)
+      "\"" + n + "\":{\"ratio\":" + s3(r) + ",\"jit\":" + s3(jit) + "}"
+    }.mkString("{", ",", "}")
 
     // The full per-query map (~320 entries) overflows the driver's 2000-char
     // stdout tail window, making the line unparseable (BENCH_r01/r02 both
@@ -435,7 +459,7 @@ object Bench {
       if (only.isDefined) "BENCH_DETAILS.partial.json" else "BENCH_DETAILS.json"
     val detailsPath = java.nio.file.Paths.get(detailsName)
     java.nio.file.Files.write(detailsPath,
-      (s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${jmap(results)},"errors":$errs,"regressions":${jmap(regressions)},"passes":$passesJson,"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${jmap(results)},"errors":$errs,"regressions":${jmap(regressions)},"watchlist":$watchJson,"passes":$passesJson,"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
 
     val headline = Seq(
@@ -449,7 +473,7 @@ object Bench {
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     val slowest = results.sortBy(-_._2).take(5)
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"slowest":${jmap(slowest)},"regressions":${jmap(regressions.take(8))},"errors":$errs,"sf":"$sfDir","details":"$detailsName"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"slowest":${jmap(slowest)},"regressions":${jmap(regressions.take(8))},"watchlist":${jmap(watch.take(8))},"n_watchlist":${watch.size},"errors":$errs,"sf":"$sfDir","details":"$detailsName"}""")
     spark.stop()
   }
 }

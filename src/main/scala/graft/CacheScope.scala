@@ -40,6 +40,32 @@ object CacheScope {
 
   val ConfKey = "spark.graft.cache.autoRelease"
 
+  /** When "true", [[retain]] records each frame's PRE-persist physical
+    * plan in a thread-local ledger (drained by [[drainCapturedPlans]]).
+    * The plan-contract machinery needs this (r8 verdict #5): the final
+    * consumer plan hides every exchange inside a retained derivation
+    * behind an InMemoryTableScan, so e.g. bpe_train_loop's contract
+    * read `shuffles=0` while its five training iterations each
+    * shuffled twice. Off by default — production sessions must not pay
+    * for plan forcing at retain time.
+    */
+  val CaptureKey = "spark.graft.cache.capturePlans"
+
+  private val capturedPlans =
+    new ThreadLocal[List[org.apache.spark.sql.execution.SparkPlan]] {
+      override def initialValue(): List[org.apache.spark.sql.execution.SparkPlan] = Nil
+    }
+
+  private def captureEnabled(s: SparkSession): Boolean =
+    s.conf.get(CaptureKey, "false") == "true"
+
+  /** Drain the captured pre-cache plans of every retain on THIS thread
+    * since the last drain (oldest first). Contract tooling only.
+    */
+  private[graft] def drainCapturedPlans(): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val l = capturedPlans.get(); capturedPlans.set(Nil); l.reverse
+  }
+
   private final case class Scope(plan: LogicalPlan, frames: List[DataFrame])
 
   // frames retained while the current thread's builder is running;
@@ -103,6 +129,12 @@ object CacheScope {
     * the unpersist (releaseAll remains the manual drain for sessions).
     */
   def retain(df: DataFrame): DataFrame = {
+    // capture BEFORE persist: this is the frame's first-materialization
+    // plan, with earlier retained frames already substituted as
+    // InMemoryTableScans (so nested retains never double-count an
+    // exchange) but its OWN exchanges still visible
+    if (captureEnabled(df.sparkSession))
+      capturedPlans.set(df.queryExecution.executedPlan :: capturedPlans.get())
     df.persist(StorageLevel.MEMORY_AND_DISK)
     if (inScope.get() && enabled(df.sparkSession))
       pending.set(df :: pending.get())

@@ -22,9 +22,16 @@ object PlanContracts {
     val out = args.headOption.getOrElse("src/test/resources/plan-contracts.tsv")
     val spark = graft.GraftSession.build(cpus = "4",
       appName = "graft-plan-contracts")
+    // capture retained frames' pre-cache plans so exchanges inside
+    // CacheScope.retain'ed derivations are folded into the signature
+    // (r8 verdict #5: bpe_train_loop's contract read shuffles=0)
+    spark.conf.set(graft.CacheScope.CaptureKey, "true")
 
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) =>
-      val sig = s"$n\t${PlanSignature.of(f(spark, "/root/testdata/sf0.001"))}"
+      graft.CacheScope.drainCapturedPlans() // isolate from prior query
+      val df = f(spark, "/root/testdata/sf0.001")
+      val retained = graft.CacheScope.drainCapturedPlans()
+      val sig = s"$n\t${PlanSignature.of(df, retained)}"
       // plan-only consumer: no action ever runs, so the after-action
       // listener can never release the builder's retained scope — drain
       // per query or the CacheManager registrations accumulate AND later

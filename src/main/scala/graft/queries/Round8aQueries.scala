@@ -195,6 +195,24 @@ object Round8aQueries {
           greatest(col("a_id"), col("b_id")).as("v"))
         .distinct()
         .transform(graft.CacheScope.retain)
+      // edge-set signature: one aggregate over the retained frame
+      // (count + order-insensitive xxhash64 sum). Replaces the r8
+      // symmetric-difference union+groupBy+count — that was a second
+      // full shuffle job per contraction round (r8 verdict #6); this is
+      // one action per round, and it doubles as the materialization of
+      // the round's cache. Both sides are distinct canonical (u,v) sets,
+      // so equal (count, hash-sum) means equal sets up to a 2^-64-ish
+      // collision — and the oracle comparison would catch even that.
+      // hash-sum as decimal(38,0): a long sum of 64-bit hashes overflows
+      // after a handful of rows under ANSI; 38 digits absorb 1e12 rows
+      // of max-magnitude hashes with headroom
+      def sig(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)"))).head()
+        (r.getLong(0), String.valueOf(r.getDecimal(1)))
+      }
+      var eSig = sig(e)
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -221,14 +239,15 @@ object Round8aQueries {
             .select(col("m").as("u"), col("u").as("v")))
           .distinct()
           .transform(graft.CacheScope.retain)
-        // converged when the canonical edge set is unchanged: symmetric
-        // difference via one union + group count (rows seen once)
-        val diff = next.union(e)
-          .groupBy("u", "v").agg(count(lit(1)).as("c"))
-          .filter(col("c") === 1).count()
+        // converged when the canonical edge set is unchanged: one
+        // signature action on the already-retained `next`
+        val nextSig = sig(next)
         iter += 1
-        System.err.println(s"[dedup_cc_star] round $iter: $diff edges changed")
-        converged = diff == 0
+        System.err.println(
+          s"[dedup_cc_star] round $iter: ${nextSig._1} edges " +
+            s"(prev ${eSig._1})")
+        converged = nextSig == eSig
+        eSig = nextSig
         e = next
       }
       // converged: every edge is (component-min, member). min-agg on the

@@ -139,8 +139,12 @@ object Round8sQueries {
             .otherwise(lit(0.0)).as("p"))), "p").as("psum"))
         .join(labelCnt, col("plabel") === col("label"))
         .select(col("probe_id"),
+          // greatest(…, 1): a singleton label class would make the AP
+          // denominator 0 — Spark yields NaN, DuckDB NULL — so both
+          // sides clamp to 1 and agree
           (col("psum") /
-            least(col("lc") - 1, lit(10L)).cast("double")).as("ap"))
+            greatest(least(col("lc") - 1, lit(10L)), lit(1L))
+              .cast("double")).as("ap"))
       ap.agg(count(lit(1)).as("n_probes"),
           sortedFold(collect_list(struct(col("probe_id"), col("ap"))),
             "ap").as("apsum"))
@@ -237,7 +241,7 @@ object Round8sQueries {
          |  FROM rel GROUP BY probe_id, plabel
          |), apr AS (
          |  SELECT ap.probe_id AS probe_id,
-         |    ap.psum / CAST(least(lc.lc - 1, 10) AS DOUBLE) AS apv
+         |    ap.psum / CAST(greatest(least(lc.lc - 1, 10), 1) AS DOUBLE) AS apv
          |  FROM ap JOIN lc ON ap.plabel = lc.label
          |)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,

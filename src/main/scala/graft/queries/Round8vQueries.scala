@@ -77,7 +77,9 @@ object Round8vQueries {
         ls.crossJoin(broadcast(rs)).crossJoin(broadcast(actual))
           .select(lit(name).as("join_name"), col("n_left"),
             col("n_right"), col("ndv_left"), col("ndv_right"),
-            ((col("n_left") * col("n_right")).cast("double") /
+            // cast BEFORE multiplying: a long×long product overflows
+            // past ~3e9-row tables; double×double never does
+            ((col("n_left").cast("double") * col("n_right").cast("double")) /
               greatest(col("ndv_left"), col("ndv_right")).cast("double"))
               .as("est_rows"),
             col("actual_rows"))
@@ -137,7 +139,8 @@ object Round8vQueries {
        |    AS ndv_left,
        |  CAST((SELECT COUNT(DISTINCT $rk) FROM $rt) AS BIGINT)
        |    AS ndv_right,
-       |  CAST((SELECT COUNT(*) FROM $lt) * (SELECT COUNT(*) FROM $rt)
+       |  CAST((SELECT COUNT(*) FROM $lt) AS DOUBLE) *
+       |    CAST((SELECT COUNT(*) FROM $rt)
        |    AS DOUBLE) / CAST(greatest(
        |      (SELECT COUNT(DISTINCT $lk) FROM $lt),
        |      (SELECT COUNT(DISTINCT $rk) FROM $rt)) AS DOUBLE)

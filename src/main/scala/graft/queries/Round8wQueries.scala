@@ -36,10 +36,17 @@ object Round8wQueries {
     aggregate(transform(array_sort(structs), _.getField(field)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Adjacent word pairs of every document, one row per occurrence. */
+  /** Adjacent word pairs of every document, one row per occurrence.
+    * Docs with fewer than 2 words are dropped BEFORE the transform:
+    * Spark's sequence(1, size-1) descends when size < 2 (yielding
+    * index-0/negative element_at accesses), while the oracle's
+    * range(1, len) is simply empty — the filter makes both sides
+    * agree on short docs instead of diverging.
+    */
   private def bigrams(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
@@ -79,8 +86,10 @@ object Round8wQueries {
     // classes exist at the word level, while the trigram domain has a
     // genuine Zipf tail (9.4k singletons at sf0.01)
     "q_good_turing" -> ((s, dir) => {
+      // size >= 3 guard: same descending-sequence hazard as bigrams
       val uni = t(s, dir, "documents")
         .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
         .select(explode(expr(
           "transform(sequence(1, size(ws) - 2), i -> concat(" +
             "element_at(ws, i), ' ', element_at(ws, i + 1), ' ', " +

@@ -87,6 +87,30 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.gate(Seq("b" -> 5.9), Map("b" -> 3.0)).isEmpty)
   }
 
+  // ---- shelter watchlist (r8 verdict #2) ---------------------------
+  // The +1.5 s clause shields sub-second floors from the gate; the
+  // watchlist makes everything sheltered above 2x floor visible
+  // without gating on it.
+  test("watchlist catches >2x-floor queries the +1.5s clause shelters") {
+    // 0.25 floor, 1.5 s reading: 6x ratio but <= floor+1.5 — gate
+    // silent, watchlist must carry it (the r8 q_freshness_lag case)
+    assert(Bench.gate(Seq("w" -> 1.5), Map("w" -> 0.25)).isEmpty)
+    val w = Bench.watchlist(Seq("w" -> 1.5), Map("w" -> 0.25))
+    assert(w.map(_._1) == Seq("w"))
+    assert(math.abs(w.head._2 - 6.0) < 1e-9)
+  }
+
+  test("watchlist and gate are disjoint: a gated query is not watchlisted") {
+    // past floor+1.5 the gate fires and the watchlist stays silent
+    assert(Bench.gate(Seq("g" -> 2.0), Map("g" -> 0.25)).nonEmpty)
+    assert(Bench.watchlist(Seq("g" -> 2.0), Map("g" -> 0.25)).isEmpty)
+  }
+
+  test("watchlist ignores queries inside 2x floor or without a floor") {
+    assert(Bench.watchlist(Seq("a" -> 0.4), Map("a" -> 0.25)).isEmpty)
+    assert(Bench.watchlist(Seq("new" -> 9.0), Map("other" -> 1.0)).isEmpty)
+  }
+
   // ---- re-measure coverage (r7 verdict #2) -------------------------
   test("a sub-3s gate-flagged query gets the extra passes") {
     // the exact r7 escape: q_source_diversity 2.48 s vs floor 0.214 —

@@ -34,9 +34,14 @@ class PlanContractSpec extends AnyFunSuite with SparkSuite {
     // not leak into this sweep's signatures or the leak-check below
     graft.CacheScope.releaseAll(spark)
     spark.catalog.clearCache()
-    val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // mirror PlanContracts: retained frames' pre-cache plans fold into
+    // the signature (r8 verdict #5), so the spec must capture them too
+    spark.conf.set(graft.CacheScope.CaptureKey, "true")
+    val diffs = try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
-        val actual = PlanSignature.of(q(spark, sf0001))
+        graft.CacheScope.drainCapturedPlans()
+        val df = q(spark, sf0001)
+        val actual = PlanSignature.of(df, graft.CacheScope.drainCapturedPlans())
         // plan-only consumer: no action ever fires the after-action
         // release, so drain each query's retained scope here — both to
         // keep this sweep from leaking 300+ CacheManager registrations
@@ -51,7 +56,7 @@ class PlanContractSpec extends AnyFunSuite with SparkSuite {
           case None =>
             Some(s"$name: no contract recorded")
         }
-    }
+    } finally spark.conf.set(graft.CacheScope.CaptureKey, "false")
     val stale = contracts.keySet -- SparkEntry.queries.keySet
     assert(diffs.isEmpty && stale.isEmpty,
       (diffs ++ stale.map(s => s"$s: contract for deleted query"))
