@@ -423,18 +423,28 @@ object Pipeline2Queries {
     // not bitwise-reproducible across engines). Top term per document
     // by (score, term) — the keyword-extraction primitive.
     "term_tfidf" -> ((s, dir) => {
-      val docs = spread(s, t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val total = broadcast(docs.agg(count(lit(1)).as("n_docs")))
-      val toks = docs.select(col("doc_id"),
-        explode(words(col("text"))).as("term"))
-      // ONE explode + ONE aggregation; df falls out of tf as a window
-      // count (tf already holds exactly one row per (doc, term)), so
-      // the corpus is never exploded a second time and nothing needs
-      // caching
+      // ONE hash exchange for the whole query: repartition by doc_id
+      // up front — HashPartitioning(doc_id) satisfies the clustering of
+      // groupBy(doc_id, term) AND of the per-doc rank window, so neither
+      // inserts its own shuffle, and ReuseExchange shares the exchange
+      // between the tf and df branches. df used to fall out of tf as a
+      // partition-by-term window count, but the vocabulary is tiny
+      // relative to the corpus (synthetic: ~31 terms), so that window
+      // sorted the whole (doc, term) table across at most |vocab|
+      // partitions — a skew that only worsens with corpus size (r8
+      // bench: 19 s of task time, adjudicated weak). A vocab-sized
+      // countDistinct broadcast back onto tf is the same value with no
+      // skewed sort and full parallelism.
+      val toks = docs.repartition(col("doc_id"))
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val df = broadcast(toks.groupBy("term")
+        .agg(countDistinct("doc_id").as("df")))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val byScore = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
-      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      tf.join(df, "term")
         .crossJoin(total)
         .withColumn("score",
           (col("tf") * col("n_docs")).cast("double") / col("df"))

@@ -119,6 +119,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.needsRemeasure(2.48, cutoff = 3.0, floor = Some(0.214)))
   }
 
+  test("a watchlist-sheltered query gets the extra passes (r8 verdict #1)") {
+    // the exact r8 escape: q_hash_agg 1.63 s vs floor 0.724 — above 2x
+    // floor but under floor+1.5, so the gate stayed silent AND the old
+    // rule never re-measured it; the interference-shaped mid-sweep
+    // reading shipped as the query's time. Anything past 2x floor now
+    // gets the late-sweep passes (the gate itself is unchanged).
+    assert(Bench.needsRemeasure(1.63, cutoff = 3.0, floor = Some(0.724)))
+    assert(Bench.gate(Seq("a" -> 1.63), Map("a" -> 0.724)).isEmpty,
+      "gate must stay silent — re-measure trigger only")
+  }
+
   test("outlier cutoff still triggers re-measure without a floor") {
     assert(Bench.needsRemeasure(4.0, cutoff = 3.0, floor = None))
     assert(!Bench.needsRemeasure(2.0, cutoff = 3.0, floor = None))
