@@ -72,10 +72,42 @@ object SinkBench {
         s"${m.name}: wrote $written of ${m.expectRows} rows")
       m.name -> sec
     }
-    val perMode = results.map { case (name, sec) =>
-      f""""$name":${n / sec}%.0f""" }.mkString(",")
+    // Streaming pass (r8 verdict #7): the six stream_* capabilities were
+    // spec-green with no performance record. Drive the SAME sink through
+    // the micro-batch engine — a file source split into 8 micro-batches
+    // (32 parquet files, maxFilesPerTrigger=4) under Trigger.AvailableNow,
+    // so epoch/commit coordination, per-batch writer factories, and the
+    // count-trigger buffer are all on the measured path. Fresh checkpoint
+    // per run so every run replays all rows.
+    val streamSrc = "/tmp/graft_sinkbench_stream_src"
+    li.write.mode("overwrite").parquet(streamSrc)
+    def streamWrite(tag: String): Double = {
+      MemorySinkRegistry.clear()
+      val src = spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "4").parquet(streamSrc)
+      val t0 = System.nanoTime()
+      val q = src.writeStream.format("clickhouse-style")
+        .option("url", "clickhouse://localhost:8123")
+        .option("table-name", "lineitem_stream_sink")
+        .option("sink.batch-size", "100000")
+        .option("graft.executor", "memory")
+        .option("checkpointLocation",
+          s"/tmp/graft_sinkbench_ckpt_${tag}_${System.nanoTime()}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    streamWrite("warm")
+    val streamSec = streamWrite("timed")
+    val streamWritten = MemorySinkRegistry.all.map(_._2.size).sum
+    assert(streamWritten == n,
+      s"streaming: wrote $streamWritten of $n rows")
+
+    val perMode = (results :+ ("streaming" -> streamSec)).map {
+      case (name, sec) => f""""$name":${n / sec}%.0f""" }.mkString(",")
     val headline = n / results.head._2
-    println(f"""{"metric":"sink_rows_per_sec","value":$headline%.0f,"rows":$n,"modes_rows_per_sec":{$perMode}}""")
+    println(f"""{"metric":"sink_rows_per_sec","value":$headline%.0f,"rows":$n,"streaming_rows_per_sec":${n / streamSec}%.0f,"modes_rows_per_sec":{$perMode}}""")
     spark.stop()
   }
 }

@@ -55,13 +55,21 @@ object Round3bQueries {
       sum(prcDec * prcDec).as("syy"),
       sum(qtyDec * prcDec).as("sxy"))
 
-  // double views of the exact sums — the only lossy step, mirrored
+  // double views of the exact sums — the only lossy step, mirrored.
+  // The conversion routes decimal -> string -> double (r9): both
+  // engines parse decimal strings correctly rounded, while DuckDB's
+  // direct scaled-int128 -> double cast lands 1 ulp off for some
+  // values (observed at sf0.001: SUM(price²) for flag A reads
+  // ...5.869 direct vs ...5.868 correctly rounded, which poisoned
+  // std_price/corr_xy in the degenerate-domain sweep). Spark's own
+  // decimal -> double is correctly rounded either way, so this only
+  // pins the oracle side; the string hop is on 3 rows, not the scan.
   private val nD   = col("n").cast("double")
-  private val sxD  = col("sx").cast("double")
-  private val sxxD = col("sxx").cast("double")
-  private val syD  = col("sy").cast("double")
-  private val syyD = col("syy").cast("double")
-  private val sxyD = col("sxy").cast("double")
+  private val sxD  = col("sx").cast("string").cast("double")
+  private val sxxD = col("sxx").cast("string").cast("double")
+  private val syD  = col("sy").cast("string").cast("double")
+  private val syyD = col("syy").cast("string").cast("double")
+  private val sxyD = col("sxy").cast("string").cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -317,9 +325,12 @@ object Round3bQueries {
       |),
       |d AS (
       |  SELECT l_returnflag, n,
-      |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-      |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
-      |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+      |    CAST(n AS DOUBLE) AS nd,
+      |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+      |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+      |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+      |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+      |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
       |  FROM a
       |)""".stripMargin
 

@@ -56,12 +56,14 @@ object Round8zQueries {
         .join(y, col("c_custkey") === col("o_custkey"))
         .select(col("c_acctbal").cast(dec).as("x"),
           col("y").cast(dec).as("y"))
+      // decimal -> string -> double: correctly-rounded on both engines
+      // (DuckDB's direct decimal cast mis-rounds 1 ulp at sf0.001)
       val m = xy.agg(count(lit(1)).as("n"),
-        sum("x").cast("double").as("sx"),
-        sum("y").cast("double").as("sy"),
-        sum(col("x") * col("x")).cast("double").as("sxx"),
-        sum(col("y") * col("y")).cast("double").as("syy"),
-        sum(col("x") * col("y")).cast("double").as("sxy"))
+        sum("x").cast("string").cast("double").as("sx"),
+        sum("y").cast("string").cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("string").cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("string").cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("string").cast("double").as("sxy"))
       m.select(col("n"),
           (col("sxy") - col("sx") * col("sy") / col("n").cast("double"))
             .as("cov_xy"),
@@ -145,10 +147,11 @@ object Round8zQueries {
         |  FROM customer JOIN y ON c_custkey = o_custkey
         |), m AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
-        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
-        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
         |  FROM xy
         |), c AS (
         |  SELECT n,
