@@ -61,11 +61,17 @@ object ScaleStress {
     }
     if (table == "documents" && i > 0) {
       // deterministic per-copy word permutation; n_chars re-derived so
-      // the length/text invariant holds inside each copy
+      // the length/text invariant holds inside each copy. The sort key
+      // MUST include the word's position (and the doc): keying on the
+      // word alone canonicalizes order ACROSS docs — every doc in a
+      // copy sorts shared vocabulary identically, shingle overlap
+      // between unrelated docs explodes, and the first generation
+      // produced 2.2M LSH candidate edges where 1x has 256.
       shifted
         .withColumn("text", expr(
           s"concat_ws(' ', transform(array_sort(transform(split(text, ' '), " +
-            s"w -> struct(md5(concat(w, '_$i')) AS h, w AS w))), p -> p.w))"))
+            s"(w, p) -> struct(md5(concat(w, '_', p, '_', doc_id, '_$i')) AS h, " +
+            s"w AS w))), q -> q.w))"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     } else shifted
   }

@@ -116,7 +116,8 @@ object SparkEntry {
     Round8aaQueries.queries ++
     Round8abQueries.queries ++
     Round8acQueries.queries ++
-    Round8adQueries.queries
+    Round8adQueries.queries ++
+    Round9aQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -205,5 +206,6 @@ object SparkEntry {
     Round8aaQueries.oracle ++
     Round8abQueries.oracle ++
     Round8acQueries.oracle ++
-    Round8adQueries.oracle
+    Round8adQueries.oracle ++
+    Round9aQueries.oracle
 }
