@@ -117,7 +117,8 @@ object SparkEntry {
     Round8abQueries.queries ++
     Round8acQueries.queries ++
     Round8adQueries.queries ++
-    Round9aQueries.queries
+    Round9aQueries.queries ++
+    Round9bQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -207,5 +208,6 @@ object SparkEntry {
     Round8abQueries.oracle ++
     Round8acQueries.oracle ++
     Round8adQueries.oracle ++
-    Round9aQueries.oracle
+    Round9aQueries.oracle ++
+    Round9bQueries.oracle
 }
