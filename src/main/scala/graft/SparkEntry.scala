@@ -118,7 +118,8 @@ object SparkEntry {
     Round8acQueries.queries ++
     Round8adQueries.queries ++
     Round9aQueries.queries ++
-    Round9bQueries.queries
+    Round9bQueries.queries ++
+    Round9cQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -209,5 +210,6 @@ object SparkEntry {
     Round8acQueries.oracle ++
     Round8adQueries.oracle ++
     Round9aQueries.oracle ++
-    Round9bQueries.oracle
+    Round9bQueries.oracle ++
+    Round9cQueries.oracle
 }
