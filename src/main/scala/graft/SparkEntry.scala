@@ -119,7 +119,8 @@ object SparkEntry {
     Round8adQueries.queries ++
     Round9aQueries.queries ++
     Round9bQueries.queries ++
-    Round9cQueries.queries
+    Round9cQueries.queries ++
+    Round9dQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -211,5 +212,6 @@ object SparkEntry {
     Round8adQueries.oracle ++
     Round9aQueries.oracle ++
     Round9bQueries.oracle ++
-    Round9cQueries.oracle
+    Round9cQueries.oracle ++
+    Round9dQueries.oracle
 }
