@@ -120,7 +120,9 @@ object SparkEntry {
     Round9aQueries.queries ++
     Round9bQueries.queries ++
     Round9cQueries.queries ++
-    Round9dQueries.queries
+    Round9dQueries.queries ++
+    Round9eQueries.queries ++
+    Round9fQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -213,5 +215,7 @@ object SparkEntry {
     Round9aQueries.oracle ++
     Round9bQueries.oracle ++
     Round9cQueries.oracle ++
-    Round9dQueries.oracle
+    Round9dQueries.oracle ++
+    Round9eQueries.oracle ++
+    Round9fQueries.oracle
 }

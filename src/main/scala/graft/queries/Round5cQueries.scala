@@ -27,13 +27,13 @@ object Round5cQueries {
     * positions) and y (odd positions). Plain integer multiply-adds so
     * the same formula is expressible in the DuckDB oracle verbatim.
     */
-  private def morton8(x: Column, y: Column): Column =
+  private[queries] def morton8(x: Column, y: Column): Column =
     (0 until 8).map { i =>
       shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
 
-  private def mortonSql(x: String, y: String): String =
+  private[queries] def mortonSql(x: String, y: String): String =
     (0 until 8).map { i =>
       s"((($x >> $i) & 1) * ${1L << (2 * i)}) + " +
         s"((($y >> $i) & 1) * ${1L << (2 * i + 1)})"

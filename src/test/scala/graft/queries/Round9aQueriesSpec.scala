@@ -64,11 +64,11 @@ class Round9aQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("click", "error", "purchase", "signup", "view"))
     rows.foreach { r =>
-      val hours = r.getSeq[Int](1)
+      val hours = r.getSeq[Long](1)
       val sums = r.getSeq[Double](2)
       assert(hours.size == sums.size && hours.size == r.getInt(3))
       assert(hours == hours.sorted && hours.distinct == hours)
-      assert(hours.forall(h => h >= 0 && h <= 23))
+      assert(hours.forall(h => h >= 0L && h <= 23L))
     }
   }
 
