@@ -122,7 +122,8 @@ object SparkEntry {
     Round9cQueries.queries ++
     Round9dQueries.queries ++
     Round9eQueries.queries ++
-    Round9fQueries.queries
+    Round9fQueries.queries ++
+    Round9gQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -217,5 +218,6 @@ object SparkEntry {
     Round9cQueries.oracle ++
     Round9dQueries.oracle ++
     Round9eQueries.oracle ++
-    Round9fQueries.oracle
+    Round9fQueries.oracle ++
+    Round9gQueries.oracle
 }
