@@ -123,7 +123,8 @@ object SparkEntry {
     Round9dQueries.queries ++
     Round9eQueries.queries ++
     Round9fQueries.queries ++
-    Round9gQueries.queries
+    Round9gQueries.queries ++
+    Round9hQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -219,5 +220,6 @@ object SparkEntry {
     Round9dQueries.oracle ++
     Round9eQueries.oracle ++
     Round9fQueries.oracle ++
-    Round9gQueries.oracle
+    Round9gQueries.oracle ++
+    Round9hQueries.oracle
 }
