@@ -124,7 +124,8 @@ object SparkEntry {
     Round9eQueries.queries ++
     Round9fQueries.queries ++
     Round9gQueries.queries ++
-    Round9hQueries.queries
+    Round9hQueries.queries ++
+    Round9iQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -221,5 +222,6 @@ object SparkEntry {
     Round9eQueries.oracle ++
     Round9fQueries.oracle ++
     Round9gQueries.oracle ++
-    Round9hQueries.oracle
+    Round9hQueries.oracle ++
+    Round9iQueries.oracle
 }
