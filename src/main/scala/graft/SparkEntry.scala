@@ -125,7 +125,8 @@ object SparkEntry {
     Round9fQueries.queries ++
     Round9gQueries.queries ++
     Round9hQueries.queries ++
-    Round9iQueries.queries
+    Round9iQueries.queries ++
+    Round9jQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -223,5 +224,6 @@ object SparkEntry {
     Round9fQueries.oracle ++
     Round9gQueries.oracle ++
     Round9hQueries.oracle ++
-    Round9iQueries.oracle
+    Round9iQueries.oracle ++
+    Round9jQueries.oracle
 }
