@@ -43,6 +43,13 @@ object GraftSession {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // the session-extension entry point is ON in every harness session
+      // (r9 verdict #2: the engine's smart plans must be planner-side,
+      // not library-side) — graft functions, VectorizeDotFold, the
+      // BandJoinRewrite range-join decomposition, and AsOfJoinStrategy
+      // all arrive the way a deployment would get them:
+      // spark.sql.extensions=graft.GraftExtensions
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", aqeDefault))

@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   * quadratically in the copy count — again workload inflation, not
   * plan behavior. The permutation preserves doc lengths and word
   * frequencies (so tf/idf/BPE statistics are corpus-realistic) while
-  * giving copies disjoint shingle sets.
+  * giving copies disjoint shingle sets. `embeddings.embedding` is
+  * dimension-permuted per copy for the same reason (identical replicas
+  * = factor-way exact duplicate vectors): one permutation per copy
+  * preserves norms and within-copy dot products exactly while
+  * scrambling cross-copy similarity.
   *
   * Usage: runMain graft.ScaleStress <srcSfDir> <workDir> [factor] [q1,q2,...]
   * Output: one JSON line per query + a trailing summary line; the round
@@ -35,12 +39,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
 
-  /** The 10 shuffle-heaviest queries named by the r8 verdict. */
+  /** The 10 shuffle-heaviest queries named by the r8 verdict, plus the
+    * round-9 graph/temporal/ANN heavies named by the r9 verdict (#4).
+    */
   val DefaultQueries: Seq[String] = Seq(
     "dedup_cc_star", "graph_triangles", "q_local_clustering",
     "q_trigram_lm_nll", "dedup_minhash_pairs", "term_tfidf",
     "bpe_train_loop", "q_semijoin_program", "simhash_hamming_pairs",
-    "q_join_size_audit")
+    "q_join_size_audit",
+    "q_ktruss_support", "q_link_pred_cn", "q_ppr_seeds",
+    "q_bucketed_range_join", "q_nearest_event_join", "q_asof_global",
+    "ann_spann_closure")
 
   private val ShiftUnit = 100000000L // > every key in sf0.1 by 100x
 
@@ -59,7 +68,21 @@ object ScaleStress {
     val shifted = keyCols.getOrElse(table, Nil).foldLeft(base) { (df, k) =>
       df.withColumn(k, col(k) + lit(i * ShiftUnit))
     }
-    if (table == "documents" && i > 0) {
+    if (table == "embeddings" && i > 0) {
+      // deterministic per-copy DIMENSION permutation (r9 ADVICE: a bare
+      // vec_id shift replicates IDENTICAL vectors, so any similarity/ANN
+      // query would see factor-way exact duplicates — the same quadratic
+      // candidate inflation the documents permutation guards against).
+      // One permutation per copy, applied to every vector: norms and
+      // all WITHIN-copy dot products are exactly preserved (per-copy
+      // geometry, cluster structure, and recall targets unchanged),
+      // while cross-copy similarity is scrambled — copies behave like
+      // fresh corpus regions, which is what weak scaling means.
+      shifted.withColumn("embedding", expr(
+        s"transform(array_sort(transform(sequence(0, size(embedding) - 1), " +
+          s"j -> struct(md5(concat(cast(j AS string), '_$i')) AS h, j AS j))), " +
+          s"q -> element_at(embedding, q.j + 1))"))
+    } else if (table == "documents" && i > 0) {
       // deterministic per-copy word permutation; n_chars re-derived so
       // the length/text invariant holds inside each copy. The sort key
       // MUST include the word's position (and the doc): keying on the

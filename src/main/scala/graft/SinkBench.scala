@@ -74,40 +74,62 @@ object SinkBench {
     }
     // Streaming pass (r8 verdict #7): the six stream_* capabilities were
     // spec-green with no performance record. Drive the SAME sink through
-    // the micro-batch engine — a file source split into 8 micro-batches
-    // (32 parquet files, maxFilesPerTrigger=4) under Trigger.AvailableNow,
-    // so epoch/commit coordination, per-batch writer factories, and the
-    // count-trigger buffer are all on the measured path. Fresh checkpoint
-    // per run so every run replays all rows.
+    // the micro-batch engine — a file source split into micro-batches
+    // under Trigger.AvailableNow, so epoch/commit coordination, per-batch
+    // writer factories, and the count-trigger buffer are all on the
+    // measured path. r9 verdict #5: the "per-epoch fixed cost amortizes
+    // at production batch sizes" claim was argued, not measured — so
+    // this is now a SWEEP over maxFilesPerTrigger (4 -> 8 -> 16 -> 32 of
+    // 32 source files, i.e. 8 -> 4 -> 2 -> 1 micro-batches), recording
+    // rows/s per micro-batch size so the curve and its asymptote vs the
+    // batch path are in the artifact, not the prose. Checkpoints live
+    // under one per-run temp root, deleted after each awaitTermination
+    // (r9 ADVICE: the nanoTime-suffixed dirs accumulated forever).
     val streamSrc = "/tmp/graft_sinkbench_stream_src"
-    li.write.mode("overwrite").parquet(streamSrc)
-    def streamWrite(tag: String): Double = {
+    li.coalesce(32).write.mode("overwrite").parquet(streamSrc)
+    val ckptRoot = java.nio.file.Files
+      .createTempDirectory("graft_sinkbench_ckpt").toFile
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+      f.delete(); ()
+    }
+    def streamWrite(filesPerTrigger: Int, tag: String): Double = {
       MemorySinkRegistry.clear()
+      val ckpt = new java.io.File(ckptRoot, s"${filesPerTrigger}_$tag")
       val src = spark.readStream.schema(li.schema)
-        .option("maxFilesPerTrigger", "4").parquet(streamSrc)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(streamSrc)
       val t0 = System.nanoTime()
       val q = src.writeStream.format("clickhouse-style")
         .option("url", "clickhouse://localhost:8123")
         .option("table-name", "lineitem_stream_sink")
         .option("sink.batch-size", "100000")
         .option("graft.executor", "memory")
-        .option("checkpointLocation",
-          s"/tmp/graft_sinkbench_ckpt_${tag}_${System.nanoTime()}")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val written = MemorySinkRegistry.all.map(_._2.size).sum
+      assert(written == n, s"streaming x$filesPerTrigger: wrote $written of $n rows")
+      deleteRecursively(ckpt)
+      sec
     }
-    streamWrite("warm")
-    val streamSec = streamWrite("timed")
-    val streamWritten = MemorySinkRegistry.all.map(_._2.size).sum
-    assert(streamWritten == n,
-      s"streaming: wrote $streamWritten of $n rows")
+    val sweep = Seq(4, 8, 16, 32).map { fpt =>
+      streamWrite(fpt, "warm")
+      fpt -> streamWrite(fpt, "timed")
+    }
+    deleteRecursively(ckptRoot)
+    val streamSec = sweep.head._2 // headline stays the 8-batch figure
 
     val perMode = (results :+ ("streaming" -> streamSec)).map {
       case (name, sec) => f""""$name":${n / sec}%.0f""" }.mkString(",")
+    val sweepJson = sweep.map { case (fpt, sec) =>
+      val batches = (31 / fpt) + 1
+      f""""files_$fpt":{"micro_batches":$batches,"rows_per_sec":${n / sec}%.0f}"""
+    }.mkString(",")
     val headline = n / results.head._2
-    println(f"""{"metric":"sink_rows_per_sec","value":$headline%.0f,"rows":$n,"streaming_rows_per_sec":${n / streamSec}%.0f,"modes_rows_per_sec":{$perMode}}""")
+    println(f"""{"metric":"sink_rows_per_sec","value":$headline%.0f,"rows":$n,"streaming_rows_per_sec":${n / streamSec}%.0f,"streaming_trigger_sweep":{$sweepJson},"modes_rows_per_sec":{$perMode}}""")
     spark.stop()
   }
 }

@@ -126,7 +126,8 @@ object SparkEntry {
     Round9gQueries.queries ++
     Round9hQueries.queries ++
     Round9iQueries.queries ++
-    Round9jQueries.queries
+    Round9jQueries.queries ++
+    Round10aQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -225,5 +226,6 @@ object SparkEntry {
     Round9gQueries.oracle ++
     Round9hQueries.oracle ++
     Round9iQueries.oracle ++
-    Round9jQueries.oracle
+    Round9jQueries.oracle ++
+    Round10aQueries.oracle
 }

@@ -65,6 +65,6 @@ object BloomExpressions {
   private val FnName = "graft_bloom_might_contain"
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
+    Registration.tempFn(spark,
+      FnName, exprs => BloomMightContain(exprs(0), exprs(1)))
 }

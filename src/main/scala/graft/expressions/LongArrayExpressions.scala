@@ -24,11 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 object LongArrayExpressions {
 
   def register(s: SparkSession): Unit = {
-    val reg = s.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_lsorted_intersect_size",
-      exprs => LongSortedIntersectSize(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_lsorted_intersect",
-      exprs => LongSortedIntersect(exprs(0), exprs(1)), "built-in")
+    Registration.tempFn(s, "graft_lsorted_intersect_size",
+      exprs => LongSortedIntersectSize(exprs(0), exprs(1)))
+    Registration.tempFn(s, "graft_lsorted_intersect",
+      exprs => LongSortedIntersect(exprs(0), exprs(1)))
   }
 
   private[expressions] def checkLongArrays(

@@ -70,19 +70,18 @@ object TextExpressions {
   }
 
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_minhash_bands",
-      exprs => MinhashBandKeys(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_array_intersect_size",
-      exprs => ArrayIntersectSize(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingles",
-      exprs => ShingleArray(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingles5",
-      exprs => ShingleArray(exprs.head, n = 5), "built-in")
-    reg.createOrReplaceTempFunction("graft_poly_hash",
-      exprs => StringPolyHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinhashSignature(exprs.head), "built-in")
+    Registration.tempFn(spark, "graft_minhash_bands",
+      exprs => MinhashBandKeys(exprs.head))
+    Registration.tempFn(spark, "graft_array_intersect_size",
+      exprs => ArrayIntersectSize(exprs(0), exprs(1)))
+    Registration.tempFn(spark, "graft_shingles",
+      exprs => ShingleArray(exprs.head))
+    Registration.tempFn(spark, "graft_shingles5",
+      exprs => ShingleArray(exprs.head, n = 5))
+    Registration.tempFn(spark, "graft_poly_hash",
+      exprs => StringPolyHash(exprs.head))
+    Registration.tempFn(spark, "graft_minhash_sig",
+      exprs => MinhashSignature(exprs.head))
   }
 }
 

@@ -191,10 +191,10 @@ object VectorExpressions {
     * registry; queries call this before building plans that use them.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => VectorDotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      SqFnName, exprs => VectorSqDist(exprs(0), exprs(1)), "built-in")
+    Registration.tempFn(spark,
+      FnName, exprs => VectorDotProduct(exprs(0), exprs(1)))
+    Registration.tempFn(spark,
+      SqFnName, exprs => VectorSqDist(exprs(0), exprs(1)))
   }
 
   /** Column API for the dot product (requires register(spark) first). */

@@ -122,11 +122,22 @@ object RelationalQueries {
           count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")),
 
-    // HLL sketch — approximate, so rows-only check (no oracle entry).
+    // HLL sketch, made hash-verifiable (r9 verdict #7): the estimate
+    // itself is engine-specific, but its ERROR BOUND is not — emit the
+    // exact distinct count plus a boolean asserting the HLL estimate
+    // sits within 3x the configured rsd (0.05 -> 15%; Spark's HLL++ is
+    // deterministic for a given input, and ApproxDistinctSpec pins the
+    // much tighter observed error). The oracle computes the same exact
+    // counts and asserts TRUE — an estimator drifting out of bound is a
+    // hash mismatch, not an unverifiable row.
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double") <=
+            lit(0.15) * col("exact_parts")).as("hll_within_bound"))
         .orderBy("l_returnflag")),
 
     "q_rollup" -> ((s, dir) =>
@@ -537,6 +548,13 @@ object RelationalQueries {
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS hll_within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

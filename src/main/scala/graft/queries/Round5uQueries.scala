@@ -12,14 +12,19 @@ import org.apache.spark.sql.functions._
   *  - q_ngram_lm_next: bigram next-token table — top-3 continuations
   *    per token with conditional probability (the count side of an
   *    n-gram LM)
-  *  - q_approx_percentile: t-digest-style approximate percentiles per
-  *    group — NO DuckDB oracle (estimates are implementation-specific);
-  *    ApproxPercentileSpec bounds it against the exact answer instead,
-  *    like q_approx_distinct/ApproxDistinctSpec
+  *  - q_approx_percentile: approximate percentiles per group, made
+  *    hash-verifiable (r9 verdict #7): the estimates themselves are
+  *    implementation-specific, but the RANK GUARANTEE is not —
+  *    approx_percentile(x, q, acc) must return an element whose rank
+  *    sits within n/acc of q*n. The query emits exact group counts
+  *    plus one boolean per quantile asserting that guarantee (rank
+  *    bracketed via count(< v) / count(<= v)); the oracle computes the
+  *    same counts and asserts TRUE. ApproxPercentileSpec still bounds
+  *    the VALUE error against the exact percentile.
   *
   * Determinism: lift and probability are single mirrored divisions
   * over exact counts; approx_percentile is deterministic for a fixed
-  * input set (driver records a rows-only check).
+  * input set, so the bound booleans are stable.
   */
 object Round5uQueries {
 
@@ -99,20 +104,51 @@ object Round5uQueries {
     // Approximate percentiles (p50/p90/p99 of extendedprice per
     // returnflag) via approx_percentile — the sketch the CBO and SLA
     // dashboards actually run at 100 TB (exact percentile sorts every
-    // group). No oracle: estimates are implementation-specific;
-    // ApproxPercentileSpec pins the accuracy-bound contract instead.
-    "q_approx_percentile" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+    // group). Hash-verified through the rank guarantee: the returned
+    // value must be an actual element whose rank r satisfies
+    // |r - q*n| <= n/accuracy (+1 slop for the rank-interval ends).
+    // count(< v) and count(<= v) bracket r, so the boolean is
+    //   count(< v) <= q*n + tol  AND  count(<= v) >= q*n - tol.
+    // One broadcast of the 3-row sketch frame back onto the scan — the
+    // verification pass is a second scan, not a sort.
+    "q_approx_percentile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val sk = li.groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
           expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90"),
-          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99"))
+      def cnt(cmp: org.apache.spark.sql.Column) =
+        sum(when(cmp, 1L).otherwise(0L))
+      val ranked = li.join(broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          cnt(col("l_extendedprice") < col("p50")).as("lt50"),
+          cnt(col("l_extendedprice") <= col("p50")).as("le50"),
+          cnt(col("l_extendedprice") < col("p90")).as("lt90"),
+          cnt(col("l_extendedprice") <= col("p90")).as("le90"),
+          cnt(col("l_extendedprice") < col("p99")).as("lt99"),
+          cnt(col("l_extendedprice") <= col("p99")).as("le99"))
+      val tol = col("n").cast("double") / 1000.0 + 1.0
+      def ok(q: Double, lt: String, le: String) =
+        (col(lt).cast("double") <= lit(q) * col("n") + tol) &&
+          (col(le).cast("double") >= lit(q) * col("n") - tol)
+      ranked.select(col("l_returnflag"), col("n"),
+        ok(0.5, "lt50", "le50").as("p50_in_bound"),
+        ok(0.9, "lt90", "le90").as("p90_in_bound"),
+        ok(0.99, "lt99", "le99").as("p99_in_bound"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  TRUE AS p50_in_bound, TRUE AS p90_in_bound, TRUE AS p99_in_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_basket_lift" ->
       """WITH li AS (

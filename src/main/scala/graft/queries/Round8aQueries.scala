@@ -240,13 +240,21 @@ object Round8aQueries {
           .distinct()
           .transform(graft.CacheScope.retain)
         // converged when the canonical edge set is unchanged: one
-        // signature action on the already-retained `next`
+        // signature action on the already-retained `next` per round,
+        // then — only on the round whose signature matches — one EXACT
+        // set-equality confirmation (r9 ADVICE: equal (count, hash-sum)
+        // alone admits a ~2^-64 collision). Both sides are distinct
+        // canonical (u,v) sets with equal counts, so |A ∩ B| = |A|
+        // proves A = B with a single intersect action on the final
+        // round; intermediate rounds keep the cheap signature.
         val nextSig = sig(next)
         iter += 1
         System.err.println(
           s"[dedup_cc_star] round $iter: ${nextSig._1} edges " +
             s"(prev ${eSig._1})")
-        converged = nextSig == eSig
+        converged = nextSig == eSig && (nextSig._1 == 0L ||
+          next.select("u", "v").intersect(e.select("u", "v")).count() ==
+            nextSig._1)
         eSig = nextSig
         e = next
       }

@@ -11,12 +11,17 @@ import org.apache.spark.sql.types.DecimalType
   * Spark-native plans:
   *
   *  - q_window_funnel: windowFunnel(1h)(view -> click -> purchase) per
-  *    user, greedy from the user's FIRST view (each later step must
-  *    fall within the window of that anchor): the level histogram.
-  *    Three conditional aggregations chained by user_id-keyed joins —
-  *    all three resolve in one co-partitioning at scale, like
-  *    q_funnel_steps, but with the time-window cap that distinguishes
-  *    windowFunnel from a plain funnel (CH docs: windowFunnel).
+  *    user: EVERY view is a candidate anchor, each anchor's chain is
+  *    greedy (earliest next step strictly after the previous, all
+  *    within anchor+1h — CH's strict_increase mode), and the user's
+  *    level is the max over anchors — the level histogram. (r9 ADVICE:
+  *    the first cut anchored only at the user's FIRST view, which can
+  *    under-report a user whose first window expires but whose later
+  *    view completes the funnel; CH windowFunnel scans all candidate
+  *    first-step events.) Anchors x steps resolve in two user_id-keyed
+  *    left joins with conditional min aggregates — per-user fan-out is
+  *    views-per-user x clicks-per-user, blocked by the user key like
+  *    q_funnel_steps, never a corpus-level product.
   *  - q_sequence_count_vc: sequenceCount('v .* c') — non-overlapping
   *    view-then-click matches per user, counted with one
   *    regexp_extract_all over the canonical per-user letter sequence
@@ -24,9 +29,15 @@ import org.apache.spark.sql.types.DecimalType
   *    pattern 'v[^c]*c' is RE2-safe and scans left-to-right
   *    non-overlapping identically in Java regex and DuckDB's RE2).
   *  - q_summap_pivot: sumMap(hour -> value) per event type — the
-  *    per-key map sum materialized as parallel sorted arrays
-  *    (hours[], sums[]). Inner groupBy(type, hour) is 5x24 groups;
-  *    the array assembly aggregates 24 rows per type, never the scan.
+  *    per-key map sum materialized as its sorted entry list
+  *    (event_type, h, hv) plus the per-type entry cardinality
+  *    (n_hours), i.e. the long-form encoding of the map. Inner
+  *    groupBy(type, hour) is 5x24 groups; the cardinality join
+  *    aggregates 24 rows per type, never the scan. (r9 verdict #1:
+  *    the first cut emitted parallel hours[]/sums[] ARRAY columns,
+  *    which the driver's checker cannot sort — unverifiable output
+  *    shape. Same combinator semantics, scalar columns only;
+  *    OutputShapeSpec now bans top-level ARRAY/MAP/STRUCT outputs.)
   */
 object Round9aQueries {
 
@@ -49,26 +60,33 @@ object Round9aQueries {
       val ev = graft.CacheScope.retain(t(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us")))
-      // anchor: first view per user; each later step within anchor+1h
-      val s1 = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("us")).as("t1"))
-      val s2 = ev.filter(col("event_type") === "click").as("e")
-        .join(s1.as("f"), col("e.user_id") === col("f.user_id"))
-        .filter(col("e.us") > col("f.t1") &&
-          col("e.us") <= col("f.t1") + lit(WindowUs))
-        .groupBy(col("f.user_id").as("user_id"), col("f.t1").as("t1"))
-        .agg(min(col("e.us")).as("t2"))
-      val s3 = ev.filter(col("event_type") === "purchase").as("e")
-        .join(s2.as("f"), col("e.user_id") === col("f.user_id"))
-        .filter(col("e.us") > col("f.t2") &&
-          col("e.us") <= col("f.t1") + lit(WindowUs))
-        .groupBy(col("f.user_id").as("user_id")).agg(min(col("e.us")).as("t3"))
+      // every view is an anchor; per anchor the greedy chain takes the
+      // earliest click strictly after the anchor, then the earliest
+      // purchase strictly after that click, all within anchor+1h. The
+      // conditional min INSIDE the aggregate (not a join filter) keeps
+      // anchors with no qualifying step — they still score level 1.
+      val anchors = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("t1"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"))
+      val withClick = anchors.join(clicks, Seq("user_id"), "left")
+        .groupBy("user_id", "t1")
+        .agg(min(when(col("c_us") > col("t1") &&
+          col("c_us") <= col("t1") + lit(WindowUs), col("c_us"))).as("t2"))
+      val perAnchor = withClick.join(purchases, Seq("user_id"), "left")
+        .groupBy("user_id", "t1", "t2")
+        .agg(min(when(col("p_us") > col("t2") &&
+          col("p_us") <= col("t1") + lit(WindowUs), col("p_us"))).as("t3"))
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2).otherwise(1).as("lvl"))
+      val bestPerUser = perAnchor.groupBy("user_id")
+        .agg(max(col("lvl")).as("best"))
       val levels = ev.select("user_id").distinct()
-        .join(s1.select(col("user_id"), lit(1).as("l1")), Seq("user_id"), "left")
-        .join(s2.select(col("user_id"), lit(1).as("l2")), Seq("user_id"), "left")
-        .join(s3.select(col("user_id"), lit(1).as("l3")), Seq("user_id"), "left")
-        .select(coalesce(col("l3") + 2, col("l2") + 1, col("l1"), lit(0))
-          .as("level"))
+        .join(bestPerUser, Seq("user_id"), "left")
+        .select(coalesce(col("best"), lit(0)).as("level"))
       levels.groupBy("level").agg(count(lit(1)).as("n_users"))
         .orderBy("level")
     }),
@@ -105,14 +123,11 @@ object Round9aQueries {
         // engines (DuckDB's direct decimal cast can sit 1 ulp off —
         // the CORRECTNESS_sf0001 class)
         .agg(sum(col("v")).cast("string").cast("double").as("hv"))
-      hourly.groupBy("event_type")
-        .agg(sort_array(collect_list(struct(col("h"), col("hv"))))
-          .as("kv"))
-        .select(col("event_type"),
-          transform(col("kv"), x => x.getField("h")).as("hours"),
-          transform(col("kv"), x => x.getField("hv")).as("sums"),
-          size(col("kv")).as("n_hours"))
-        .orderBy("event_type")
+      val card = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"))
+      hourly.join(card, "event_type")
+        .select(col("event_type"), col("h"), col("hv"), col("n_hours"))
+        .orderBy("event_type", "h")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -120,31 +135,32 @@ object Round9aQueries {
     "q_window_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
-        |), s1 AS (
-        |  SELECT user_id, MIN(us) AS t1 FROM ev
-        |  WHERE event_type = 'view' GROUP BY user_id
-        |), s2 AS (
-        |  SELECT e.user_id, f.t1, MIN(e.us) AS t2
-        |  FROM ev e JOIN s1 f ON e.user_id = f.user_id
-        |  WHERE e.event_type = 'click' AND e.us > f.t1
-        |    AND e.us <= f.t1 + 3600000000
-        |  GROUP BY e.user_id, f.t1
-        |), s3 AS (
-        |  SELECT e.user_id, MIN(e.us) AS t3
-        |  FROM ev e JOIN s2 f ON e.user_id = f.user_id
-        |  WHERE e.event_type = 'purchase' AND e.us > f.t2
-        |    AND e.us <= f.t1 + 3600000000
-        |  GROUP BY e.user_id
+        |), anchors AS (
+        |  SELECT user_id, us AS t1 FROM ev WHERE event_type = 'view'
+        |), with_click AS (
+        |  SELECT a.user_id, a.t1,
+        |    MIN(CASE WHEN c.us > a.t1 AND c.us <= a.t1 + 3600000000
+        |      THEN c.us END) AS t2
+        |  FROM anchors a LEFT JOIN
+        |    (SELECT user_id, us FROM ev WHERE event_type = 'click') c
+        |    ON a.user_id = c.user_id
+        |  GROUP BY a.user_id, a.t1
+        |), per_anchor AS (
+        |  SELECT w.user_id,
+        |    CASE WHEN MIN(CASE WHEN p.us > w.t2
+        |        AND p.us <= w.t1 + 3600000000 THEN p.us END) IS NOT NULL
+        |      THEN 3 WHEN w.t2 IS NOT NULL THEN 2 ELSE 1 END AS lvl
+        |  FROM with_click w LEFT JOIN
+        |    (SELECT user_id, us FROM ev WHERE event_type = 'purchase') p
+        |    ON w.user_id = p.user_id
+        |  GROUP BY w.user_id, w.t1, w.t2
+        |), best AS (
+        |  SELECT user_id, MAX(lvl) AS best FROM per_anchor GROUP BY user_id
         |)
         |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
-        |  SELECT COALESCE(
-        |    CASE WHEN s3.user_id IS NOT NULL THEN 3 END,
-        |    CASE WHEN s2.user_id IS NOT NULL THEN 2 END,
-        |    CASE WHEN s1.user_id IS NOT NULL THEN 1 END, 0) AS level
+        |  SELECT COALESCE(b.best, 0) AS level
         |  FROM (SELECT DISTINCT user_id FROM ev) u
-        |  LEFT JOIN s1 USING (user_id)
-        |  LEFT JOIN s2 USING (user_id)
-        |  LEFT JOIN s3 USING (user_id)
+        |  LEFT JOIN best b USING (user_id)
         |) GROUP BY level ORDER BY level""".stripMargin,
 
     "q_sequence_count_vc" ->
@@ -175,10 +191,11 @@ object Round9aQueries {
         |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
         |      AS DOUBLE) AS hv
         |  FROM events GROUP BY event_type, hour(ts)
+        |), card AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+        |  FROM hourly GROUP BY event_type
         |)
-        |SELECT event_type,
-        |  list(h ORDER BY h) AS hours,
-        |  list(hv ORDER BY h) AS sums,
-        |  CAST(COUNT(*) AS INTEGER) AS n_hours
-        |FROM hourly GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |SELECT h.event_type, h.h, h.hv, c.n_hours
+        |FROM hourly h JOIN card c USING (event_type)
+        |ORDER BY h.event_type, h.h""".stripMargin)
 }

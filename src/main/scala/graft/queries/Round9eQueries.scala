@@ -99,14 +99,25 @@ object Round9eQueries {
           call_function("div", col("us"), lit(HourUs)).as("hb"))
       // "latest purchase in any STRICTLY EARLIER hour" per VIEW bucket
       // (a view's own bucket may hold no purchase, so the prefix must
-      // key on view buckets): a theta join between two bucket tables,
-      // both bounded by the time domain, the purchase side broadcast
+      // cover view buckets too): union the view bucket ids into the
+      // purchase bucket summary, collapse to ONE row per bucket, and
+      // take a running max over rows strictly before each bucket — a
+      // single window over the bounded bucket table, O(B log B), not
+      // the O(B^2) broadcast theta-join of the first cut (r9 verdict
+      // #3: a decade of hourly buckets is ~87k rows, B^2 ~ 7.7e9 BNLJ
+      // comparisons). The window is single-partition by construction,
+      // but over the BUCKET table (time-domain-bounded), never the
+      // corpus — the same block decomposition as GlobalRank.
       val vBuckets = views.select(col("hb")).distinct()
-      val blockPrefix = vBuckets.as("vb")
-        .join(broadcast(blocks).as("pb"),
-          col("pb.hb") < col("vb.hb"), "left")
-        .groupBy(col("vb.hb").as("hb"))
-        .agg(max(col("blk_max")).as("prev_max"))
+      val allBuckets = blocks
+        .unionByName(vBuckets.withColumn("blk_max",
+          lit(null).cast("long")))
+        .groupBy("hb").agg(max(col("blk_max")).as("blk_max"))
+      val prevW = Window.orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blockPrefix = allBuckets
+        .withColumn("prev_max", max(col("blk_max")).over(prevW))
+        .select(col("hb"), col("prev_max"))
       // in-bucket predecessor: co-partition views and purchases by hour
       // bucket; late purchases null out INSIDE the aggregate so every
       // view keeps its row (a filter would drop views whose bucket only

@@ -41,6 +41,19 @@ class PlanContractSpec extends AnyFunSuite with SparkSuite {
       case (name, q) =>
         graft.CacheScope.drainCapturedPlans()
         val df = q(spark, sf0001)
+        // output-shape guard (r9 verdict #1): the driver's oracle checker
+        // cannot sort ARRAY/MAP/STRUCT-typed result columns (pandas
+        // "unhashable type" — the q_summap_pivot failure class), so no
+        // query may emit a top-level complex type. Checked inside this
+        // sweep because the builders are already being planned here.
+        val complexCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            s"$name: column '${f.name}' is ${f.dataType.simpleString} — " +
+              "driver-unverifiable output shape (emit long-form rows or " +
+              "canonical strings instead)"
+        }
         val actual = PlanSignature.of(df, graft.CacheScope.drainCapturedPlans())
         // plan-only consumer: no action ever fires the after-action
         // release, so drain each query's retained scope here — both to
@@ -49,13 +62,13 @@ class PlanContractSpec extends AnyFunSuite with SparkSuite {
         // and to keep each signature independent of earlier queries'
         // still-registered frames (r6 verdict #3)
         graft.CacheScope.releaseAll(spark)
-        contracts.get(name) match {
+        complexCols ++ (contracts.get(name) match {
           case Some(expected) if expected == actual => None
           case Some(expected) =>
             Some(s"$name: contract '$expected' but plan is '$actual'")
           case None =>
             Some(s"$name: no contract recorded")
-        }
+        })
     } finally spark.conf.set(graft.CacheScope.CaptureKey, "false")
     val stale = contracts.keySet -- SparkEntry.queries.keySet
     assert(diffs.isEmpty && stale.isEmpty,
