@@ -127,7 +127,16 @@ object SparkEntry {
     Round9hQueries.queries ++
     Round9iQueries.queries ++
     Round9jQueries.queries ++
-    Round10aQueries.queries
+    Round10aQueries.queries ++
+    Round10bQueries.queries ++
+    Round10cQueries.queries ++
+    Round10dQueries.queries ++
+    Round10eQueries.queries ++
+    Round10fQueries.queries ++
+    Round10gQueries.queries ++
+    Round10hQueries.queries ++
+    Round10iQueries.queries ++
+    Round10jQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -227,5 +236,14 @@ object SparkEntry {
     Round9hQueries.oracle ++
     Round9iQueries.oracle ++
     Round9jQueries.oracle ++
-    Round10aQueries.oracle
+    Round10aQueries.oracle ++
+    Round10bQueries.oracle ++
+    Round10cQueries.oracle ++
+    Round10dQueries.oracle ++
+    Round10eQueries.oracle ++
+    Round10fQueries.oracle ++
+    Round10gQueries.oracle ++
+    Round10hQueries.oracle ++
+    Round10iQueries.oracle ++
+    Round10jQueries.oracle
 }
