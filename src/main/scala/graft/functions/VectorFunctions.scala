@@ -51,11 +51,13 @@ object VectorFunctions {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Cosine similarity in doubles; NaN on zero vectors (not present in
-    * the synthetic data).
+  /** Cosine similarity in doubles; NULL on zero vectors via try_divide —
+    * the DuckDB x/0 semantic, so zero-norm inputs (present in the
+    * adversarial fixture) degrade identically on both engines instead
+    * of raising ANSI DIVIDE_BY_ZERO.
     */
   def cosine(a: Column, b: Column): Column =
-    dotD(a, b) / (normD(a) * normD(b))
+    try_divide(dotD(a, b), normD(a) * normD(b))
 
   /** Sign-LSH bucket from k fixed probe dimensions: bit j = (v[dim_j] > 0).
     * A deterministic, SQL-reproducible stand-in for random-hyperplane LSH:

@@ -96,16 +96,24 @@ object GlobalRank {
     val ranked = bucketed.withColumn(rCol, row_number().over(wb))
     val counts = bucketed.groupBy(gCols :+ col(bCol): _*)
       .agg(count(lit(1)).as("__gr_n"))
+    // group-key equality is NULL-SAFE (<=>): a NULL group key is a
+    // legitimate group (adversarial fixture: documents with a NULL
+    // source) — the original equi-joins silently DROPPED those rows
+    // from the ranked output
     val offsets = counts.as("a")
       .join(broadcast(counts.as("b")),
-        groups.map(g => col(s"a.$g") === col(s"b.$g"))
+        groups.map(g => col(s"a.$g") <=> col(s"b.$g"))
           .reduceOption(_ && _).map(_ && col(s"b.$bCol") < col(s"a.$bCol"))
           .getOrElse(col(s"b.$bCol") < col(s"a.$bCol")), "left")
       .groupBy(groups.map(g => col(s"a.$g").as(g)) :+
         col(s"a.$bCol").as(bCol): _*)
       .agg(coalesce(sum(col("b.__gr_n")), lit(0L)).as("__gr_off"))
-    ranked
-      .join(broadcast(offsets), groups :+ bCol)
+    val joinCond = (groups.map(g => col(s"r.$g") <=> col(s"o.$g")) :+
+      (col(s"r.$bCol") === col(s"o.$bCol"))).reduce(_ && _)
+    ranked.as("r")
+      .join(broadcast(offsets.as("o")), joinCond)
+      .select(ranked.columns.map(c => col(s"r.$c")) :+
+        col("o.__gr_off"): _*)
       .withColumn(rankCol, (col("__gr_off") + col(rCol)).cast("long"))
       .drop(mCol, bCol, rCol, "__gr_off")
   }

@@ -152,8 +152,14 @@ object AdvancedQueries {
     "q_min_max_by" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy("user_id")
-        .agg(max_by(col("value"), col("event_id")).as("latest_value"),
-          min_by(col("value"), col("event_id")).as("first_value"),
+        // NULL-valued rows are excluded from the arg extremes by
+        // nulling their ORDERING key (Spark's min_by/max_by skip null
+        // keys) — DuckDB's arg_min/arg_max skip NULL arguments natively,
+        // and the two defaults diverge on a NULL-valued first event
+        .agg(max_by(col("value"),
+          when(col("value").isNotNull, col("event_id"))).as("latest_value"),
+          min_by(col("value"),
+            when(col("value").isNotNull, col("event_id"))).as("first_value"),
           max(col("value")).as("max_value"),
           min(col("value")).as("min_value"))
         .orderBy("user_id")),

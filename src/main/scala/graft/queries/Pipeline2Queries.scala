@@ -64,8 +64,10 @@ object Pipeline2Queries {
           col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
         .withColumn("inter", interSize(col("a.sh"), col("b.sh")))
-        .withColumn("cont", col("inter") /
-          least(size(col("a.sh")), size(col("b.sh"))))
+        // try_divide: an empty shingle set zeroes the min — NULL
+        // containment (DuckDB's x/0), dropped by the threshold filter
+        .withColumn("cont", try_divide(col("inter"),
+          least(size(col("a.sh")), size(col("b.sh")))))
         .transform(fencedFilter(_, col("cont") >= 0.05))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("cont"))

@@ -148,8 +148,11 @@ object PipelineQueries {
   private def withNorm(e: DataFrame): DataFrame =
     e.withColumn("nrm", normD(col("embedding")))
 
+  // try_divide, not `/`: a zero-norm vector must yield sim = NULL (the
+  // DuckDB division-by-zero semantic), not an ANSI arithmetic error —
+  // the adversarial fixture holds an all-zero embedding
   private def simExpr(a: Column, b: Column, na: Column, nb: Column): Column =
-    dotD(a, b) / (na * nb)
+    try_divide(dotD(a, b), na * nb)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -371,8 +374,10 @@ object PipelineQueries {
             (col("a.bk") === col("b.bk") &&
               col("a.doc_id") < col("b.doc_id"))))
         .withColumn("inter", interSize(col("a.sh"), col("b.sh")))
-        .withColumn("jacc", col("inter") /
-          (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
+        // try_divide: two EMPTY shingle sets (0/1-word docs) make the
+        // union 0 — NULL jaccard (DuckDB's x/0), dropped by the filter
+        .withColumn("jacc", try_divide(col("inter"),
+          size(col("a.sh")) + size(col("b.sh")) - col("inter")))
         .transform(fencedFilter(_, col("jacc") >= 0.02))
         // off-diagonal tiles pair by bucket, not doc order: canonicalize
         .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
@@ -389,8 +394,8 @@ object PipelineQueries {
       e.crossJoin(probe)
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          (dotD(col("embedding"), col("pe")) /
-            (normD(col("embedding")) * normD(col("pe")))).as("sim"))
+          try_divide(dotD(col("embedding"), col("pe")),
+            normD(col("embedding")) * normD(col("pe"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(10)
     }),
@@ -406,8 +411,8 @@ object PipelineQueries {
       e.crossJoin(probes)
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          (dotD(col("embedding"), col("pe")) /
-            (normD(col("embedding")) * normD(col("pe")))).as("sim"))
+          try_divide(dotD(col("embedding"), col("pe")),
+            normD(col("embedding")) * normD(col("pe"))).as("sim"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select("probe_id", "rnk", "neighbor_id", "sim")

@@ -560,6 +560,7 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |HAVING COUNT(*) > 0
         |ORDER BY l_returnflag NULLS FIRST,
         |  l_linestatus NULLS FIRST""".stripMargin,
 
@@ -567,6 +568,7 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |HAVING COUNT(*) > 0
         |ORDER BY l_returnflag NULLS FIRST,
         |  l_linestatus NULLS FIRST""".stripMargin,
 
@@ -576,6 +578,7 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())
+        |HAVING COUNT(*) > 0
         |ORDER BY l_returnflag NULLS FIRST,
         |  l_linestatus NULLS FIRST""".stripMargin,
 

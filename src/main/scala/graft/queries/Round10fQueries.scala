@@ -208,9 +208,11 @@ object Round10fQueries {
           col("d_flag") * col("d_status")))
         .unionByName(row("(flag,status,month)", col("a_fsm"),
           col("d_flag") * col("d_status") * col("d_month")))
+        // try_divide: on an EMPTY table the capped estimates are 0 —
+        // the ratio is NULL (DuckDB's x/0)
         .withColumn("underestimate_ratio",
-          col("actual_groups").cast("double")
-            / col("independence_est").cast("double"))
+          try_divide(col("actual_groups").cast("double"),
+            col("independence_est").cast("double")))
         .orderBy("grouping_set")
     }))
 

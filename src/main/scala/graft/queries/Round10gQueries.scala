@@ -48,8 +48,12 @@ object Round10gQueries {
       val wide = users.groupBy()
         .pivot("grp", Seq("a", "b"))
         .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
-        .select(col("a_n").as("n_a"), col("a_conv").as("conv_a"),
-          col("b_n").as("n_b"), col("b_conv").as("conv_b"))
+        // coalesce: an ABSENT md5 arm pivots to NULL where the oracle's
+        // SUM(CASE) reads 0 — the Beta(1,1) posterior is defined either way
+        .select(coalesce(col("a_n"), lit(0L)).as("n_a"),
+          coalesce(col("a_conv"), lit(0L)).as("conv_a"),
+          coalesce(col("b_n"), lit(0L)).as("n_b"),
+          coalesce(col("b_conv"), lit(0L)).as("conv_b"))
       // Beta(1,1) prior: alpha = conv+1, beta = n-conv+1
       def mean(n: Column, c: Column): Column = (d(c) + 1.0) / (d(n) + 2.0)
       def variance(n: Column, c: Column): Column =
@@ -94,9 +98,13 @@ object Round10gQueries {
           pmod(instr(lit("0123456789abcdef"),
             substring(md5(col("user_id").cast("string")), 1, 1))
             .cast("long"), lit(3L)))
-      val wide = users.groupBy()
+      val wide0 = users.groupBy()
         .pivot("arm", Seq(0, 1, 2))
         .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+      // coalesce: absent arms pivot to NULL, the oracle reads 0
+      val wide = (0 to 2).foldLeft(wide0)((df, i) =>
+        df.withColumn(s"${i}_n", coalesce(col(s"${i}_n"), lit(0L)))
+          .withColumn(s"${i}_conv", coalesce(col(s"${i}_conv"), lit(0L))))
       def score(i: Int): Column = {
         val n = d(col(s"${i}_n")); val c = d(col(s"${i}_conv"))
         (c + 1.0) / (n + 2.0) +
@@ -139,12 +147,12 @@ object Round10gQueries {
          |  FROM events GROUP BY user_id
          |), wide AS (
          |  SELECT
-         |    CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         |    CAST(SUM(CASE WHEN grp = 'a' THEN converted ELSE 0 END)
-         |      AS BIGINT) AS conv_a,
-         |    CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-         |    CAST(SUM(CASE WHEN grp = 'b' THEN converted ELSE 0 END)
-         |      AS BIGINT) AS conv_b
+         |    CAST(COALESCE(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+         |    CAST(COALESCE(SUM(CASE WHEN grp = 'a' THEN converted ELSE 0 END),
+         |      0) AS BIGINT) AS conv_a,
+         |    CAST(COALESCE(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b,
+         |    CAST(COALESCE(SUM(CASE WHEN grp = 'b' THEN converted ELSE 0 END),
+         |      0) AS BIGINT) AS conv_b
          |  FROM u
          |)
          |SELECT n_a, conv_a, n_b, conv_b,
@@ -191,15 +199,15 @@ object Round10gQueries {
          |  FROM events GROUP BY user_id
          |), wide AS (
          |  SELECT
-         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
-         |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
-         |      AS BIGINT) AS conv_0,
-         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
-         |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
-         |      AS BIGINT) AS conv_1,
-         |    CAST(SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
-         |    CAST(SUM(CASE WHEN arm = 2 THEN converted ELSE 0 END)
-         |      AS BIGINT) AS conv_2
+         |    CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_0,
+         |    CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END),
+         |      0) AS BIGINT) AS conv_0,
+         |    CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_1,
+         |    CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END),
+         |      0) AS BIGINT) AS conv_1,
+         |    CAST(COALESCE(SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_2,
+         |    CAST(COALESCE(SUM(CASE WHEN arm = 2 THEN converted ELSE 0 END),
+         |      0) AS BIGINT) AS conv_2
          |  FROM u
          |)
          |SELECT n_0, n_1, n_2,

@@ -795,6 +795,7 @@ object Round3Queries {
         |  GROUPING(o_orderstatus, o_orderpriority) AS gid
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |HAVING COUNT(*) > 0
         |ORDER BY gid, o_orderstatus NULLS FIRST,
         |  o_orderpriority NULLS FIRST""".stripMargin,
 

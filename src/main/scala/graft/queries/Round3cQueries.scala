@@ -207,8 +207,14 @@ object Round3cQueries {
       graft.expressions.BloomExpressions.register(s)
       val urgent = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
-      val bloom = urgent.stat.bloomFilter("o_orderkey",
-        expectedNumItems = 1000000L, fpp = 0.01)
+      // stat.bloomFilter on an EMPTY frame returns a bloom whose bit
+      // buffer is null (writeTo NPEs) — substitute an explicit empty
+      // filter so the degenerate corpus prunes everything cleanly
+      val bloom =
+        if (urgent.isEmpty)
+          org.apache.spark.util.sketch.BloomFilter.create(1000000L, 0.01)
+        else urgent.stat.bloomFilter("o_orderkey",
+          expectedNumItems = 1000000L, fpp = 0.01)
       val bytes = {
         val bos = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bos)

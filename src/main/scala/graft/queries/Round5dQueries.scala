@@ -83,8 +83,11 @@ object Round5dQueries {
     "q_table_profile" -> ((s, dir) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
+      // coalesce: SUM over an EMPTY table is NULL where the oracle's
+      // count reads 0 — a null census of an empty table is 0, not NULL
       val aggs = cols.flatMap { c =>
-        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        Seq(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"nn_$c"),
           countDistinct(col(c)).as(s"nd_$c"))
       }
       val wide = t(s, dir, "orders")

@@ -94,14 +94,20 @@ object Round5gQueries {
           col("dst") === col("u2"), "left") // sink nodes have no out-list
         .select(call_function("graft_lsorted_intersect_size", col("nbrs"),
           coalesce(col("nbrs2"), array().cast("array<bigint>"))).as("c"))
-        .agg(sum(col("c")).cast("long").as("n_triangles"))
+        // coalesce: an edgeless graph SUMs over nothing — 0 triangles,
+        // like the oracle's COUNT(*), not NULL
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("long")
+          .as("n_triangles"))
       val stats = deg.agg(
         count(lit(1)).as("n_nodes"),
         (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
       val edges = e.agg(count(lit(1)).as("n_edges"))
       stats.join(broadcast(edges)).join(broadcast(triangles))
+        // try_divide: a graph with no wedges (all degrees 1) has an
+        // undefined clustering coefficient — NULL, like DuckDB's x/0
         .withColumn("global_cc",
-          (col("n_triangles") * 3).cast("double") / col("n_wedges"))
+          try_divide((col("n_triangles") * 3).cast("double"),
+            col("n_wedges")))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "global_cc")
     }),
 
@@ -138,7 +144,13 @@ object Round5gQueries {
         transform(col("purchase"), e => e.getField("id"))))), 1, k)
       val exact = base.select("u").distinct()
         .agg(count(lit(1)).as("exact_union"))
-      wide.select(
+      wide
+        // both sketches must be FULL (>= k distinct hashes): the oracle
+        // selects the exact k-th entry per arm, so a corpus missing
+        // either arm (or under k distinct users) yields ZERO rows on
+        // both engines rather than a partial-sketch estimate
+        .filter(size(col("click")) >= k && size(col("purchase")) >= k)
+        .select(
           kth(col("click")).as("kth_click"),
           kth(col("purchase")).as("kth_purchase"),
           element_at(merged, k).as("kth_union"),

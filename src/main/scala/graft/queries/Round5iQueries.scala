@@ -148,10 +148,13 @@ object Round5iQueries {
         .groupBy(sha2(col("text"), 256).as("text_hash"))
         .agg(min("doc_id").as("golden_id"),
           max("n_chars").as("max_chars"),
-          concat_ws(",", array_sort(collect_set(col("lang"))))
+          nullif(concat_ws(",", array_sort(collect_set(col("lang")))),
+            lit(""))
             .as("langs"),
-          concat_ws(",", array_sort(collect_set(col("source"))))
-            .as("sources"),
+          // nullif: an all-NULL member set concats to '' in Spark but
+          // aggregates to NULL in DuckDB's string_agg — pin NULL
+          nullif(concat_ws(",", array_sort(collect_set(col("source")))),
+            lit("")).as("sources"),
           count(lit(1)).as("n_members"))
         .select("golden_id", "max_chars", "langs", "sources", "n_members")
         .orderBy("golden_id")),

@@ -127,10 +127,14 @@ object Round5rQueries {
       val wide = users.groupBy()
         .pivot("grp", Seq("a", "b"))
         .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
-        .select(col("a_n").as("n_a"), col("a_conv").as("conv_a"),
-          col("b_n").as("n_b"), col("b_conv").as("conv_b"))
-      val pa = col("conv_a").cast("double") / col("n_a")
-      val pb = col("conv_b").cast("double") / col("n_b")
+        // coalesce: pivot yields NULL for an ABSENT arm (every user
+        // hashed to one side), where the oracle's SUM(CASE) reads 0
+        .select(coalesce(col("a_n"), lit(0L)).as("n_a"),
+          coalesce(col("a_conv"), lit(0L)).as("conv_a"),
+          coalesce(col("b_n"), lit(0L)).as("n_b"),
+          coalesce(col("b_conv"), lit(0L)).as("conv_b"))
+      val pa = try_divide(col("conv_a").cast("double"), col("n_a"))
+      val pb = try_divide(col("conv_b").cast("double"), col("n_b"))
       val pp = (col("conv_a") + col("conv_b")).cast("double") /
         (col("n_a") + col("n_b"))
       // z is undefined when everyone (or no one) converts: the pooled
@@ -296,11 +300,15 @@ object Round5rQueries {
         |      THEN 'a' ELSE 'b' END AS grp
         |  FROM events GROUP BY user_id
         |), s AS (
+  -- COALESCE: an absent arm is an EMPTY arm (0 users, 0 conversions),
+  -- matching the Spark side's coalesced pivot
         |  SELECT
         |    COUNT(*) FILTER (grp = 'a') AS n_a,
-        |    CAST(SUM(converted) FILTER (grp = 'a') AS BIGINT) AS conv_a,
+        |    CAST(COALESCE(SUM(converted) FILTER (grp = 'a'), 0)
+        |      AS BIGINT) AS conv_a,
         |    COUNT(*) FILTER (grp = 'b') AS n_b,
-        |    CAST(SUM(converted) FILTER (grp = 'b') AS BIGINT) AS conv_b
+        |    CAST(COALESCE(SUM(converted) FILTER (grp = 'b'), 0)
+        |      AS BIGINT) AS conv_b
         |  FROM u
         |)
         |SELECT n_a, conv_a, n_b, conv_b,

@@ -150,13 +150,17 @@ object Round5sQueries {
         sum("rem_cap").as("rem_total"))
       p1.crossJoin(broadcast(spent))
         .withColumn("leftover", col("target") - col("spent1"))
+        // rem_total = 0 (every source cap-filled in phase 1) must make
+        // the proportional div NULL, not an ANSI error: least() then
+        // ignores the NULL on both engines (DuckDB's // by 0 is NULL)
         .withColumn("alloc2", least(col("rem_cap"),
-          call_function("div", col("leftover") * col("rem_cap"),
-            col("rem_total"))))
+          when(col("rem_total") =!= 0,
+            call_function("div", col("leftover") * col("rem_cap"),
+              col("rem_total")))))
         .select(col("source"), col("cap"), col("alloc1"), col("alloc2"),
           (col("alloc1") + col("alloc2")).as("final_alloc"),
-          ((col("alloc1") + col("alloc2")).cast("double") / col("cap"))
-            .as("fill_ratio"))
+          try_divide((col("alloc1") + col("alloc2")).cast("double"),
+            col("cap")).as("fill_ratio"))
         .orderBy("source")
     }),
   )

@@ -51,8 +51,11 @@ object Round5tQueries {
         .agg(count(lit(1)).as("n_stays"),
           sum("dwell_us").as("total_dwell_us"),
           sum("wv").as("sum_weighted"))
+        // try_divide: all-identical timestamps make every dwell 0 —
+        // the average is undefined (NULL, DuckDB's x/0)
         .withColumn("time_weighted_avg",
-          col("sum_weighted").cast("double") / col("total_dwell_us"))
+          try_divide(col("sum_weighted").cast("double"),
+            col("total_dwell_us")))
         .select("event_type", "n_stays", "total_dwell_us",
           "sum_weighted", "time_weighted_avg")
         .orderBy("event_type")

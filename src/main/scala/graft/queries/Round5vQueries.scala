@@ -87,18 +87,20 @@ object Round5vQueries {
       def c(name: String, metric: Column, passed: Column): Column =
         struct(lit(name).as("check_name"), metric.as("metric"),
           passed.as("passed"))
+      // try_divide: the n = 0 (empty table) audit reports NULL rates
+      // (DuckDB's x/0), with the pass flags still well-defined
       wide.select(explode(array(
           c("completeness_text",
-            col("nonnull_text").cast("double") / col("n"),
+            try_divide(col("nonnull_text").cast("double"), col("n")),
             col("nonnull_text") === col("n")),
           c("uniqueness_doc_id",
-            col("distinct_ids").cast("double") / col("n"),
+            try_divide(col("distinct_ids").cast("double"), col("n")),
             col("distinct_ids") === col("n")),
           c("range_n_chars",
             col("max_chars").cast("double"),
             col("min_chars") >= 1 && col("max_chars") <= 100000),
           c("domain_lang",
-            col("lang_ok").cast("double") / col("n"),
+            try_divide(col("lang_ok").cast("double"), col("n")),
             col("lang_ok") === col("n")))).as("r"))
         .select(col("r.check_name").as("check_name"),
           col("r.metric").as("metric"), col("r.passed").as("passed"))

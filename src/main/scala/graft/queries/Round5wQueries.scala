@@ -41,8 +41,12 @@ object Round5wQueries {
     // scale-killer class GlobalRank purged in r4; the group-rank form
     // partitions every window by (type, value-range bucket).
     "q_winsorized_mean" -> ((s, dir) => {
+      // NULL values are excluded up front: ranking them is engine-
+      // divergent (Spark windows put nulls FIRST on asc, DuckDB LAST),
+      // and a NULL cannot be winsorized anyway
       val base = t(s, dir, "events")
         .select(col("event_type"), col("event_id"), col("value"))
+        .filter(col("value").isNotNull)
       val ranked = graft.operators.GlobalRank.withGroupRank(
         base, Seq("event_type"), col("value"), col("event_id"), "rk")
       val ns = base.groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -189,7 +193,7 @@ object Round5wQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
         |      ORDER BY value, event_id) AS BIGINT) AS rk,
         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), b AS (
         |  SELECT event_type, MAX(n) AS n,
         |    MAX(CASE WHEN rk = (n + 9) // 10 THEN value END) AS lo,

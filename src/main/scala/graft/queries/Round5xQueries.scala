@@ -133,11 +133,14 @@ object Round5xQueries {
           sort_array(collect_list(
             struct(col("c"), col("p"), col("r"), col("f1")))).as("arr"))
         .crossJoin(broadcast(totals))
+        // try_divide: an empty corpus has no classes — the macro means
+        // are NULL (DuckDB's x/0)
         .select(col("n_classes"),
-          (col("tp_total").cast("double") / col("n_docs")).as("accuracy"),
-          (foldSum("p") / col("n_classes")).as("macro_precision"),
-          (foldSum("r") / col("n_classes")).as("macro_recall"),
-          (foldSum("f1") / col("n_classes")).as("macro_f1"))
+          try_divide(col("tp_total").cast("double"), col("n_docs"))
+            .as("accuracy"),
+          try_divide(foldSum("p"), col("n_classes")).as("macro_precision"),
+          try_divide(foldSum("r"), col("n_classes")).as("macro_recall"),
+          try_divide(foldSum("f1"), col("n_classes")).as("macro_f1"))
     }),
 
     // Reliability diagram data: a pseudo-probability model (md5 of the
@@ -190,9 +193,12 @@ object Round5xQueries {
         .withColumn("cum_pos",
           sum(col("n_pos")).over(Window.orderBy("decile")
             .rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("cum_gain", col("cum_pos").cast("double") / col("npt"))
+        // try_divide: zero total positives (a corpus with no purchase
+        // events) makes gain/lift NULL, matching DuckDB's x/0
+        .withColumn("cum_gain",
+          try_divide(col("cum_pos").cast("double"), col("npt")))
         .withColumn("lift",
-          col("cum_pos").cast("double") / col("npt") * lit(10.0)
+          try_divide(col("cum_pos").cast("double"), col("npt")) * lit(10.0)
             / (col("decile") + 1))
         .select("decile", "n", "n_pos", "cum_pos", "cum_gain", "lift")
         .orderBy("decile")

@@ -143,8 +143,11 @@ object Round5zQueries {
         .agg(min(col("rk")).as("n_top80"),
           max(col("n_customers")).as("n_customers"),
           max(col("total_cents")).as("total_cents"))
+        // the isNotNull filter mirrors the oracle's empty-input shape:
+        // no customers -> ZERO rows, not one row of NULLs
+        .filter(col("n_top80").isNotNull)
         .select(col("n_customers"), col("total_cents"), col("n_top80"),
-          (col("n_top80").cast("double") / col("n_customers"))
+          try_divide(col("n_top80").cast("double"), col("n_customers"))
             .as("top_share"))
     }),
 

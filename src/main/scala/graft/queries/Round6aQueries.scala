@@ -164,8 +164,8 @@ object Round6aQueries {
       counts.crossJoin(broadcast(simCount))
         .select(col("n_docs"), col("n_raw_distinct"),
           col("n_norm_distinct"), col("n_simhash_distinct"),
-          (col("n_simhash_distinct").cast("double") / col("n_docs"))
-            .as("aggressive_survivor_rate"))
+          try_divide(col("n_simhash_distinct").cast("double"),
+            col("n_docs")).as("aggressive_survivor_rate"))
     }))
 
   val oracle: Map[String, String] = Map(

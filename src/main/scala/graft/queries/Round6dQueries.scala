@@ -77,8 +77,12 @@ object Round6dQueries {
             .otherwise(0L)).as("cents2"))
       val tot = byBrand.agg(sum("cents1").as("t1"), sum("cents2").as("t2"))
       byBrand.crossJoin(broadcast(tot))
-        .withColumn("share1", col("cents1").cast("double") / col("t1"))
-        .withColumn("share2", col("cents2").cast("double") / col("t2"))
+        // try_divide: a single-era corpus zeroes one side's total —
+        // that era's shares are NULL (DuckDB's x/0)
+        .withColumn("share1", try_divide(col("cents1").cast("double"),
+          col("t1")))
+        .withColumn("share2", try_divide(col("cents2").cast("double"),
+          col("t2")))
         .withColumn("abs_shift", abs(col("share1") - col("share2")))
         .select("p_brand", "cents1", "cents2", "share1", "share2",
           "abs_shift")

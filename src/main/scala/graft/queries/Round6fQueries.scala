@@ -56,7 +56,7 @@ object Round6fQueries {
         broadcast(pred.withColumn("hit", lit(1L))),
         Seq("a_id", "b_id"), "left")
       val nTruth = marked.agg(count(lit(1)).as("n_truth"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("n_hit"))
       val nPred = pred.agg(count(lit(1)).as("n_pred"))
       nTruth.crossJoin(broadcast(nPred))
         .select(col("n_truth"), col("n_pred"), col("n_hit"),
@@ -138,7 +138,7 @@ object Round6fQueries {
           sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
             .as("n_correct"))
         .select(col("n_probes"), col("n_correct"),
-          (col("n_correct").cast("double") / col("n_probes"))
+          try_divide(col("n_correct").cast("double"), col("n_probes"))
             .as("accuracy"))
     }))
 

@@ -118,9 +118,12 @@ object Round6iQueries {
         sum(col("dx") * col("dy")).as("sxy"),
         sum(col("dx") * col("dx")).as("sxx"),
         sum(col("dy") * col("dy")).as("syy"))
+      // try_divide: a regular graph (all degrees equal — e.g. a single
+      // edge) has zero degree variance — r undefined (NULL, DuckDB x/0)
       s6.withColumn("assortativity",
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+        try_divide(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
             .cast("double")) *
            sqrt((col("n") * col("syy") - col("sy") * col("sy"))
              .cast("double"))))
@@ -161,6 +164,9 @@ object Round6iQueries {
             col(s"e_$k").as("n_edges"))): _*)).as("r"))
         .select(col("r.k").as("k"), col("r.n_nodes").as("n_nodes"),
           col("r.n_edges").as("n_edges"))
+        // the isNotNull filter mirrors the oracle's grouped shape: an
+        // edgeless graph emits no threshold rows
+        .filter(col("n_nodes").isNotNull)
         .withColumn("phi",
           when(col("n_nodes") < 2, lit(0.0))
             .otherwise((col("n_edges") * 2).cast("double") /

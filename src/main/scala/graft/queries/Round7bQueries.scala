@@ -174,10 +174,15 @@ object Round7bQueries {
         .groupBy("term").agg(min("source").as("first_src"))
       val per = first.groupBy("first_src")
         .agg(count(lit(1)).as("n_new_terms"))
+      // nulls LAST everywhere order matters: terms seen only in
+      // NULL-source docs form a real group, and Spark's default asc
+      // ordering puts nulls FIRST where DuckDB puts them LAST — the
+      // running total would diverge
       per.withColumn("cum_vocab",
-          sum("n_new_terms").over(Window.orderBy("first_src")
+          sum("n_new_terms").over(Window.orderBy(
+            col("first_src").asc_nulls_last)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .orderBy("first_src")
+        .orderBy(col("first_src").asc_nulls_last)
     }),
 
     // Weekly growth accounting: WAU decomposed into new (first-ever

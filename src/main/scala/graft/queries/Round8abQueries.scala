@@ -53,18 +53,20 @@ object Round8abQueries {
           sum(when(a, 1L).otherwise(0L)).as("ca"),
           sum(when(b, 1L).otherwise(0L)).as("cb"),
           sum(when(a && b, 1L).otherwise(0L)).as("cab"))
+        // try_divide: an empty table (n = 0) or a never-true predicate
+        // (sel_est = 0) makes the ratios NULL, like DuckDB's x/0
         .select(lit(name).as("pair"), col("n"),
-          (col("ca").cast("double") / col("n").cast("double"))
+          try_divide(col("ca").cast("double"), col("n").cast("double"))
             .as("sel_a"),
-          (col("cb").cast("double") / col("n").cast("double"))
+          try_divide(col("cb").cast("double"), col("n").cast("double"))
             .as("sel_b"),
-          (col("ca").cast("double") / col("n").cast("double") *
-            (col("cb").cast("double") / col("n").cast("double")))
+          (try_divide(col("ca").cast("double"), col("n").cast("double")) *
+            try_divide(col("cb").cast("double"), col("n").cast("double")))
             .as("sel_est"),
-          (col("cab").cast("double") / col("n").cast("double"))
+          try_divide(col("cab").cast("double"), col("n").cast("double"))
             .as("sel_actual"))
         .select(col("*"),
-          (col("sel_actual") / col("sel_est")).as("corr_factor"))
+          try_divide(col("sel_actual"), col("sel_est")).as("corr_factor"))
       pair("1_flag_status", col("l_returnflag") === "R",
           col("l_linestatus") === "F")
         .unionByName(pair("2_qty_price", col("l_quantity") > 25,

@@ -84,9 +84,11 @@ object Round8acQueries {
         .agg(count(lit(1)).as("n"), min("ts").as("t0"),
           max("ts").as("t1"))
         .select(col("n"),
-          (col("n").cast("double") /
-            ((unix_micros(col("t1")) - unix_micros(col("t0")))
-              .cast("double") / lit(1000000.0))).as("lambda")))
+          // try_divide: a zero-width time span (all events at one
+          // instant) has no defined rate — NULL, like DuckDB's x/0
+          try_divide(col("n").cast("double"),
+            (unix_micros(col("t1")) - unix_micros(col("t0")))
+              .cast("double") / lit(1000000.0)).as("lambda")))
       val cs = broadcast(s.range(3).select(
         element_at(array(lit(8), lit(16), lit(32)),
           (col("id") + 1).cast("int")).as("c")))

@@ -143,10 +143,15 @@ object Round8dQueries {
     "q_winnowing_fingerprints" -> ((s, dir) => {
       val docs = PipelineQueries.spread(s, t(s, dir, "documents"))
       val ws = split(col("text"), " ")
+      // the when() guard: docs under 3 tokens produce NO shingles (a
+      // start>stop Spark sequence counts DOWN, indexing off the array —
+      // the adversarial 0/1/2-word docs); posexplode of NULL emits no
+      // rows, matching DuckDB's empty range()
       val shingles = docs.select(col("doc_id"), col("source"),
-        posexplode(transform(sequence(lit(0), size(ws) - 3), i =>
-          concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
-            element_at(ws, i + 3)))).as(Seq("pos", "sh")))
+        posexplode(when(size(ws) >= 3,
+          transform(sequence(lit(0), size(ws) - 3), i =>
+            concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+              element_at(ws, i + 3))))).as(Seq("pos", "sh")))
         .select(col("doc_id"), col("source"), col("pos"),
           call_function("graft_poly_hash", col("sh")).as("h"))
       val frame = Window.partitionBy("doc_id").orderBy("pos")

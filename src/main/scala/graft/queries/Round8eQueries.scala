@@ -111,6 +111,10 @@ object Round8eQueries {
           (aggregate(zip_with(col("ya"), col("yb"), (x, yv) =>
             (x - yv) * (x - yv)), lit(0.0), (acc, v) => acc + v))
             .as("d2p"))
+        // identical vectors (d2o = 0) have no defined distortion —
+        // excluded on BOTH engines (a NULL ratio would rank nulls-first
+        // in Spark but nulls-last in DuckDB)
+        .filter(col("d2o") > 0)
         .select(col("a_id"), col("b_id"),
           (col("d2p") / col("d2o")).as("ratio"))
       val ranked = graft.operators.GlobalRank.withRank(ratios,
@@ -287,7 +291,7 @@ object Round8eQueries {
         |  SELECT d2p / d2o AS ratio,
         |    ROW_NUMBER() OVER (ORDER BY d2p / d2o, a_id, b_id) AS rn,
         |    COUNT(*) OVER () AS n
-        |  FROM pairs
+        |  FROM pairs WHERE d2o > 0
         |)
         |SELECT MAX(n) AS n_pairs, MIN(ratio) AS min_ratio,
         |  MAX(CASE WHEN rn = (n + 1) // 2 THEN ratio END)

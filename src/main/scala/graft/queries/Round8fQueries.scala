@@ -112,10 +112,13 @@ object Round8fQueries {
       val exp = col("sa").cast("double") * col("sb") / col("sn")
       sFrame.crossJoin(broadcast(mi)).crossJoin(broadcast(ha))
         .crossJoin(broadcast(hb))
+        // try_divide: trivial partitions (one cluster = one label =
+        // everything) zero both denominators — ARI/NMI are undefined
+        // there (NULL, DuckDB's x/0)
         .select(col("n"), col("n_clusters"), col("n_labels"),
-          ((col("sij").cast("double") - exp) /
-            ((col("sa").cast("double") + col("sb")) / 2 - exp)).as("ari"),
-          (col("mi") / sqrt(col("h_a") * col("h_b"))).as("nmi"))
+          try_divide(col("sij").cast("double") - exp,
+            (col("sa").cast("double") + col("sb")) / 2 - exp).as("ari"),
+          try_divide(col("mi"), sqrt(col("h_a") * col("h_b"))).as("nmi"))
     }),
 
     // Hard-negative mining: per bench probe (vec_id < 16), argmax-sim
@@ -131,8 +134,8 @@ object Round8fQueries {
           sqrt(dotD(col("embedding"), col("embedding"))).as("nc"))
       val sims = graft.CacheScope.retain(corpus.crossJoin(probes)
         .select(col("p_id"), col("p_label"), col("vec_id"), col("label"),
-          (dotD(col("embedding"), col("pe")) / (col("nc") * col("np")))
-            .as("sim")))
+          try_divide(dotD(col("embedding"), col("pe")),
+            col("nc") * col("np")).as("sim")))
       val byP = Window.partitionBy("p_id")
         .orderBy(col("sim").desc, col("vec_id"))
       val pos = sims.filter(col("label") === col("p_label"))

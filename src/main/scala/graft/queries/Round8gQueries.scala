@@ -150,8 +150,8 @@ object Round8gQueries {
         .select(col("n_present"), col("n_absent"), col("bits_set"),
           (col("bits_set").cast("double") / m).as("fill_ratio"),
           col("n_false_positive"),
-          (col("n_false_positive").cast("double") / col("n_absent"))
-            .as("fpp"))
+          try_divide(col("n_false_positive").cast("double"),
+            col("n_absent")).as("fpp"))
     }),
   )
 

@@ -44,9 +44,12 @@ object Round8iQueries {
     aggregate(transform(array_sort(structs), _.getField(field)),
       lit(0.0), (acc, v) => acc + v)
 
+  // the coalesce pins the NULL-key hash: without it Spark's concat
+  // null-propagates (NULL head) while DuckDB's [0] || NULL list-concat
+  // quietly evaluates to 0 — a NULL group key is a real group
   private def md5Head(prefix: String, k: Column): Column =
-    conv(substring(md5(concat(lit(prefix), k.cast("string"))), 1, 8),
-      16, 10).cast("long")
+    conv(substring(md5(concat(lit(prefix),
+      coalesce(k.cast("string"), lit("")))), 1, 8), 16, 10).cast("long")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -82,8 +85,11 @@ object Round8iQueries {
           max("d2").as("max_d2"))
         .crossJoin(tot)
         .select(col("centroid_id"), col("n_vecs"), col("sum_d2_c"),
-          (col("sum_d2_c") / col("sum_d2_tot")).as("d2_share"),
-          (col("max_d2") / col("sum_d2_tot")).as("max_sensitivity"))
+          // try_divide: an all-identical corpus has zero total spread —
+          // shares are NULL (DuckDB's x/0), not an ANSI error
+          try_divide(col("sum_d2_c"), col("sum_d2_tot")).as("d2_share"),
+          try_divide(col("max_d2"), col("sum_d2_tot"))
+            .as("max_sensitivity"))
         .orderBy("centroid_id")
     }),
 
@@ -181,9 +187,9 @@ object Round8iQueries {
          |  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
          |), noise0 AS (
          |  SELECT source, cnt,
-         |    (${md5HeadSql("'dpsign' || CAST(source AS VARCHAR)")} % 2)
+         |    (${md5HeadSql("'dpsign' || COALESCE(CAST(source AS VARCHAR), '')")} % 2)
          |      * 2 - 1 AS sgn,
-         |    ${md5HeadSql("'dpmag' || CAST(source AS VARCHAR)")}
+         |    ${md5HeadSql("'dpmag' || COALESCE(CAST(source AS VARCHAR), '')")}
          |      % 2147483648 + 1 AS a
          |  FROM pc
          |), ${lnCtesSql("noise", "noise0", "source, cnt, sgn, a", "a",

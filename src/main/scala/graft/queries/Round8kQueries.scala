@@ -124,9 +124,14 @@ object Round8kQueries {
     // hex bit each, estimator 2*(m/8)-1 vs exact shingle Jaccard.
     "q_bbit_minhash" -> ((s, dir) => {
       val ws = split(col("text"), " ")
-      val sh = array_distinct(transform(sequence(lit(1),
-        size(ws) - 2), i => concat_ws(" ", element_at(ws, i),
-        element_at(ws, i + 1), element_at(ws, i + 2))))
+      // when() guard: docs under 3 tokens have NO 3-gram shingles (a
+      // start>stop sequence counts DOWN and indexes off the array);
+      // the empty array mirrors DuckDB's empty range comprehension
+      val sh = when(size(ws) >= 3,
+        array_distinct(transform(sequence(lit(1),
+          size(ws) - 2), i => concat_ws(" ", element_at(ws, i),
+          element_at(ws, i + 1), element_at(ws, i + 2)))))
+        .otherwise(array().cast("array<string>"))
       val base = graft.CacheScope.retain(t(s, dir, "documents")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), sh.as("s"))
@@ -148,6 +153,10 @@ object Round8kQueries {
           aggregate(zip_with(col("ba"), col("bb"), (x, y) =>
             when(odd(x) === odd(y), 1L).otherwise(0L)),
             lit(0L), (acc, v) => acc + v).as("m"))
+        // pairs of two EMPTY shingle sets have no defined Jaccard:
+        // excluded on both engines (a NULL error would rank nulls-first
+        // in Spark, nulls-last in DuckDB)
+        .filter(col("zsum") - col("inter") > 0)
         .select(col("a_id"), col("b_id"),
           (col("inter").cast("double") /
             (col("zsum") - col("inter"))).as("jexact"),
@@ -181,7 +190,7 @@ object Round8kQueries {
         |    COUNT(*) OVER () AS n
         |  FROM m
         |)
-        |SELECT MAX(n) AS n_docs,
+        |SELECT COALESCE(MAX(n), 0) AS n_docs,
         |  CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
         |  1 - CAST(6 * SUM((r1 - r2) * (r1 - r2)) AS DOUBLE)
         |    / (MAX(n) * (CAST(MAX(n) AS BIGINT) * MAX(n) - 1))
@@ -258,7 +267,7 @@ object Round8kQueries {
         |  SELECT a_id, b_id,
         |    abs(CAST(2 * m - 8 AS DOUBLE) / 8
         |      - CAST(inter AS DOUBLE) / (zsum - inter)) AS abs_err
-        |  FROM pairs
+        |  FROM pairs WHERE zsum - inter > 0
         |), ranked AS (
         |  SELECT abs_err,
         |    ROW_NUMBER() OVER (ORDER BY abs_err, a_id * 50 + b_id)

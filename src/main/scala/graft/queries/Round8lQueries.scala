@@ -80,14 +80,18 @@ object Round8lQueries {
         .filter(col("rk") <= 51))
       val xk = broadcast(ranked.filter(col("rk") === 51)
         .select(col("n_chars").as("x50")))
+      // GLOBAL aggregate (not groupBy x50): a corpus under 51 docs has
+      // no x_{k+1} — the oracle's ungrouped aggregate still emits one
+      // row of NULLs, so this side must too; try_divide turns the
+      // empty fold's 0 denominator into the same NULL
       ranked.filter(col("rk") <= 50).crossJoin(xk)
         .select(struct(col("rk"),
           (dln(col("n_chars")) - dln(col("x50"))).as("term")).as("st"),
           col("x50"))
-        .groupBy("x50")
-        .agg(sortedFold(collect_list(col("st")), "term").as("lsum"))
-        .select(lit(50L).as("k"), col("x50").as("x_k"),
-          (lit(50) / col("lsum")).as("hill_alpha"))
+        .agg(max(col("x50")).as("x_k"),
+          sortedFold(collect_list(col("st")), "term").as("lsum"))
+        .select(lit(50L).as("k"), col("x_k"),
+          try_divide(lit(50), col("lsum")).as("hill_alpha"))
     }),
 
     // Distributed top-k merge audit: 8 md5 shards, local top-10 per

@@ -103,8 +103,11 @@ object Round8qQueries {
         x.crossJoin(broadcast(y))
           .select((col(xid) * 100000 + col(yid)).as("pid"),
             kern(col(xe), col(ye)).as("kv"))
-          .agg((sortedFold(collect_list(struct(col("pid"), col("kv"))),
-            "kv") / count(lit(1))).as("m"))
+          // try_divide: an absent label class makes the pair set empty
+          // — the kernel mean is NULL (DuckDB's x/0), never ANSI error
+          .agg(try_divide(
+            sortedFold(collect_list(struct(col("pid"), col("kv"))),
+              "kv"), count(lit(1))).as("m"))
       val a1 = side(0, "a_id", "ea"); val a2 = side(0, "b_id", "eb")
       val b1 = side(1, "c_id", "ec"); val b2 = side(1, "d_id", "ed")
       val mA = meanK(a1, "a_id", "ea", a2, "b_id", "eb")

@@ -114,10 +114,14 @@ object Round8rQueries {
         .agg(count(lit(1)).as("n_pairs"),
           array_sort(collect_list(col("sl"))).as("sls"))
         .select(col("n_pairs"),
-          when(col("n_pairs") % 2 === 0,
-            (element_at(col("sls"), (col("n_pairs") / 2).cast("int")) +
-              element_at(col("sls"),
-                (col("n_pairs") / 2 + 1).cast("int"))) / lit(2.0))
+          // the n_pairs = 0 guard: a single-day series has no pair
+          // slopes — element_at(sls, 0) would raise INVALID_INDEX_OF_ZERO
+          // under ANSI where DuckDB's list[0] is NULL
+          when(col("n_pairs") === 0, lit(null).cast("double"))
+            .when(col("n_pairs") % 2 === 0,
+              (element_at(col("sls"), (col("n_pairs") / 2).cast("int")) +
+                element_at(col("sls"),
+                  (col("n_pairs") / 2 + 1).cast("int"))) / lit(2.0))
             .otherwise(element_at(col("sls"),
               ((col("n_pairs") + 1) / 2).cast("int"))).as("slope"))
       days.crossJoin(broadcast(slope))
@@ -127,10 +131,16 @@ object Round8rQueries {
         .agg(count(lit(1)).as("n_days"),
           array_sort(collect_list(col("r"))).as("rs"))
         .select(col("n_days"), col("n_pairs"), col("slope"),
-          when(col("n_days") % 2 === 0,
-            (element_at(col("rs"), (col("n_days") / 2).cast("int")) +
-              element_at(col("rs"),
-                (col("n_days") / 2 + 1).cast("int"))) / lit(2.0))
+          // size guard: a NULL slope (single-day series) nulls every
+          // residual, and collect_list DROPS nulls — rs is then shorter
+          // than n_days and the median index runs off the end; DuckDB's
+          // list() keeps the NULLs and indexes to NULL, so NULL here too
+          when(size(col("rs")) < col("n_days").cast("int"),
+            lit(null).cast("double"))
+            .when(col("n_days") % 2 === 0,
+              (element_at(col("rs"), (col("n_days") / 2).cast("int")) +
+                element_at(col("rs"),
+                  (col("n_days") / 2 + 1).cast("int"))) / lit(2.0))
             .otherwise(element_at(col("rs"),
               ((col("n_days") + 1) / 2).cast("int"))).as("intercept"))
     }),

@@ -79,8 +79,8 @@ object Round8sQueries {
     probes.agg(countDistinct(col("probe_id")).as("n_probes"))
       .crossJoin(broadcast(hits))
       .select(col("n_probes"), col("hits"),
-        (col("hits").cast("double") /
-          (lit(10.0) * col("n_probes").cast("double")))
+        try_divide(col("hits").cast("double"),
+          lit(10.0) * col("n_probes").cast("double"))
           .as("recall_at_10"))
   }
 
@@ -90,11 +90,12 @@ object Round8sQueries {
       val sc = graft.CacheScope.retain(scored(s, dir)
         .select(col("probe_id"), col("neighbor_id"),
           cosine(col("embedding"), col("pe")).as("sim"),
-          (dotD(slice(col("embedding"), 1, 16), slice(col("pe"), 1, 16)) /
-            (sqrt(dotD(slice(col("embedding"), 1, 16),
+          try_divide(
+            dotD(slice(col("embedding"), 1, 16), slice(col("pe"), 1, 16)),
+            sqrt(dotD(slice(col("embedding"), 1, 16),
               slice(col("embedding"), 1, 16))) *
               sqrt(dotD(slice(col("pe"), 1, 16),
-                slice(col("pe"), 1, 16))))).as("sim16")))
+                slice(col("pe"), 1, 16)))).as("sim16")))
       val exact = top10(sc, col("sim").desc, col("neighbor_id").asc)
         .select("probe_id", "neighbor_id")
       val pref = top10(sc, col("sim16").desc, col("neighbor_id").asc)
@@ -149,7 +150,7 @@ object Round8sQueries {
           sortedFold(collect_list(struct(col("probe_id"), col("ap"))),
             "ap").as("apsum"))
         .select(col("n_probes"),
-          (col("apsum") / col("n_probes").cast("double"))
+          try_divide(col("apsum"), col("n_probes").cast("double"))
             .as("map_at_10"))
     }),
   )

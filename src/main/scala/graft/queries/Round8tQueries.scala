@@ -100,9 +100,12 @@ object Round8tQueries {
       perCat.join(broadcast(totals), col("colname") === col("tc"))
         .groupBy("colname", "ne", "nl")
         .agg(count(lit(1)).as("n_cats"),
+          // try_divide: a one-era corpus zeroes ne or nl — the NULL
+          // poisons the fold to tvd = NULL on BOTH engines (DuckDB's
+          // bare division already yields NULL there)
           (lit(0.5) * sortedFold(collect_list(struct(col("cat"),
-            abs(col("ce").cast("double") / col("ne").cast("double") -
-              col("cl").cast("double") / col("nl").cast("double"))
+            abs(try_divide(col("ce").cast("double"), col("ne")) -
+              try_divide(col("cl").cast("double"), col("nl")))
               .as("d"))), "d")).as("tvd"))
         .select(col("colname"), col("ne").as("n_early"),
           col("nl").as("n_late"), col("n_cats"), col("tvd"))

@@ -69,15 +69,17 @@ object Round8uQueries {
       def arm(p: String, name: String) = preds
         .select(col("idx"), col("v"), col(p).as("p"))
         .agg(count(lit(1)).as("n_days"),
-          (sortedFold(collect_list(struct(col("idx"),
-            abs(col("v").cast("double") - col("p")).as("e"))), "e") /
+          // try_divide: an empty backtest window (a 1-day corpus) or a
+          // zero-valued horizon must yield NULL scores, not ANSI errors
+          try_divide(sortedFold(collect_list(struct(col("idx"),
+            abs(col("v").cast("double") - col("p")).as("e"))), "e"),
             count(lit(1)).cast("double")).as("mae"),
           sum(when(col("v") > 0, 1L).otherwise(0L)).as("n_mape_days"),
-          (sortedFold(collect_list(struct(col("idx"),
+          try_divide(sortedFold(collect_list(struct(col("idx"),
             when(col("v") > 0,
               abs(col("v").cast("double") - col("p")) /
                 col("v").cast("double")).otherwise(lit(0.0)).as("r"))),
-            "r") /
+            "r"),
             sum(when(col("v") > 0, 1L).otherwise(0L)).cast("double"))
             .as("mape"))
         .select(lit(name).as("method"), col("n_days"), col("mae"),

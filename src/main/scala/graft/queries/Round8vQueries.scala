@@ -79,13 +79,17 @@ object Round8vQueries {
             col("n_right"), col("ndv_left"), col("ndv_right"),
             // cast BEFORE multiplying: a long×long product overflows
             // past ~3e9-row tables; double×double never does
-            ((col("n_left").cast("double") * col("n_right").cast("double")) /
+            // try_divide: empty inputs zero the NDVs and the actual
+            // row counts — estimates and q-errors go NULL (DuckDB x/0)
+            try_divide(
+              col("n_left").cast("double") * col("n_right").cast("double"),
               greatest(col("ndv_left"), col("ndv_right")).cast("double"))
               .as("est_rows"),
             col("actual_rows"))
           .select(col("*"),
-            greatest(col("est_rows") / col("actual_rows").cast("double"),
-              col("actual_rows").cast("double") / col("est_rows"))
+            greatest(
+              try_divide(col("est_rows"), col("actual_rows").cast("double")),
+              try_divide(col("actual_rows").cast("double"), col("est_rows")))
               .as("q_error"))
       }
       eval(t(s, dir, "orders").select(col("o_custkey").as("lk")), "lk",

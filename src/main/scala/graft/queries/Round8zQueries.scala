@@ -71,10 +71,12 @@ object Round8zQueries {
             .as("var_x"),
           (col("syy") - col("sy") * col("sy") / col("n").cast("double"))
             .as("var_y"))
+        // try_divide: a single-customer (or constant-covariate) sample
+        // has zero variance — theta/rho2 undefined (NULL, DuckDB's x/0)
         .select(col("n"), col("cov_xy"), col("var_x"), col("var_y"),
-          (col("cov_xy") / col("var_x")).as("theta"),
-          (col("cov_xy") * col("cov_xy") /
-            (col("var_x") * col("var_y"))).as("rho2"))
+          try_divide(col("cov_xy"), col("var_x")).as("theta"),
+          try_divide(col("cov_xy") * col("cov_xy"),
+            col("var_x") * col("var_y")).as("rho2"))
         .select(col("n"), col("theta"), col("rho2"),
           (lit(1.0) - col("rho2")).as("var_reduction_factor"))
     }),
@@ -118,7 +120,10 @@ object Round8zQueries {
         .select(col("arm"), col("period"), col("n"),
           (col("s").cast("double") / col("n").cast("double"))
             .as("mean_value"))
-      val wide = cells.groupBy(lit(1).as("g"))
+      // GLOBAL aggregate, not groupBy(lit(1)): a literal group over an
+      // EMPTY frame has zero groups, but the oracle's ungrouped
+      // aggregate emits its one row of NULLs either way
+      val wide = cells
         .agg(
           min(when(col("arm") === "treat" && col("period") === "pre",
             col("mean_value"))).as("t_pre"),

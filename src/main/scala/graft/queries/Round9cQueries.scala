@@ -67,7 +67,9 @@ object Round9cQueries {
             / col("n")).as("c"))
 
   /** (vec_id, label, c_label, sim): cosine of every vector to every
-    * centroid; centroids broadcast.
+    * centroid; centroids broadcast. All cosines use try_divide — a
+    * zero-norm vector yields sim = NULL (DuckDB's x/0), never an ANSI
+    * error (the adversarial fixture holds an all-zero embedding).
     */
   private def vecCellSims(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -75,8 +77,8 @@ object Round9cQueries {
         normD(col("embedding")).as("nrm"))
       .crossJoin(broadcast(cents(e).withColumn("cn", normDD(col("c")))))
       .select(col("vec_id"), col("label"), col("c_label"),
-        (dotFD(col("embedding"), col("c")) / (col("nrm") * col("cn")))
-          .as("sim"))
+        try_divide(dotFD(col("embedding"), col("c")),
+          col("nrm") * col("cn")).as("sim"))
   }
 
   /** SPANN assignment: rank cells per vector; keep rank 1 (primary) and
@@ -105,8 +107,8 @@ object Round9cQueries {
       .crossJoin(broadcast(probes(e)))
       .filter(col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id"), col("label"),
-        (dotD(col("embedding"), col("pe")) / (col("nrm") * col("pn")))
-          .as("sim"))
+        try_divide(dotD(col("embedding"), col("pe")),
+          col("nrm") * col("pn")).as("sim"))
   }
 
   /** Exact top-10 neighbor ids per probe. */
@@ -125,7 +127,8 @@ object Round9cQueries {
     broadcast(probes(e))
       .crossJoin(broadcast(cents(e).withColumn("cn", normDD(col("c")))))
       .select(col("pid"), col("c_label"),
-        (dotFD(col("pe"), col("c")) / (col("pn") * col("cn"))).as("csim"))
+        try_divide(dotFD(col("pe"), col("c")), col("pn") * col("cn"))
+          .as("csim"))
       .withColumn("cell_rnk", row_number().over(byProbe))
   }
 

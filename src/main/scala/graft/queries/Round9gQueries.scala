@@ -67,18 +67,22 @@ object Round9gQueries {
   private def estFrame(s: SparkSession, dir: String): DataFrame = {
     val masks = s.range(1, 32).select(col("id").cast("int").as("m"))
     def bit(m: Column, b: Int): Column = (m.bitwiseAND(lit(b)) === b)
+    // try_divide chain: EMPTY base tables zero the per-edge NDVs — the
+    // affected subset estimates go NULL (DuckDB's x/0) and NULL
+    // propagates identically through the DP sums and MIN on both engines
+    def tdiv(a: Column, b: Column): Column = try_divide(a, b)
     masks.crossJoin(broadcast(stats(s, dir)))
       .select(col("m"),
-        (lit(1.0)
+        tdiv(tdiv(tdiv(tdiv(lit(1.0)
           * when(bit(col("m"), 1), col("n_c").cast("double")).otherwise(1.0)
           * when(bit(col("m"), 2), col("n_o").cast("double")).otherwise(1.0)
           * when(bit(col("m"), 4), col("n_l").cast("double")).otherwise(1.0)
           * when(bit(col("m"), 8), col("n_p").cast("double")).otherwise(1.0)
-          * when(bit(col("m"), 16), col("n_s").cast("double")).otherwise(1.0)
-          / when(bit(col("m"), 3), col("e_co").cast("double")).otherwise(1.0)
-          / when(bit(col("m"), 6), col("e_ol").cast("double")).otherwise(1.0)
-          / when(bit(col("m"), 12), col("e_lp").cast("double")).otherwise(1.0)
-          / when(bit(col("m"), 20), col("e_ls").cast("double")).otherwise(1.0))
+          * when(bit(col("m"), 16), col("n_s").cast("double")).otherwise(1.0),
+          when(bit(col("m"), 3), col("e_co").cast("double")).otherwise(1.0)),
+          when(bit(col("m"), 6), col("e_ol").cast("double")).otherwise(1.0)),
+          when(bit(col("m"), 12), col("e_lp").cast("double")).otherwise(1.0)),
+          when(bit(col("m"), 20), col("e_ls").cast("double")).otherwise(1.0))
           .as("est"))
   }
 
@@ -127,7 +131,8 @@ object Round9gQueries {
         .crossJoin(broadcast(leftDeep))
         .crossJoin(broadcast(est.agg(count(lit(1)).as("n_subsets"))))
         .select(col("n_subsets"), col("opt_cost"), col("leftdeep_cost"),
-          (col("leftdeep_cost") / col("opt_cost")).as("planning_gain"))
+          try_divide(col("leftdeep_cost"), col("opt_cost"))
+            .as("planning_gain"))
     }),
 
     "q_cost_model_validate" -> ((s, dir) => {
@@ -153,8 +158,10 @@ object Round9gQueries {
       }.reduce(_ unionAll _)
       truthDf.join(est, "m")
         .select(col("m"), col("true_rows"), col("est"),
-          greatest(col("est") / col("true_rows").cast("double"),
-            col("true_rows").cast("double") / col("est")).as("q_error"))
+          greatest(
+            try_divide(col("est"), col("true_rows").cast("double")),
+            try_divide(col("true_rows").cast("double"), col("est")))
+            .as("q_error"))
         .orderBy("m")
     }),
 
@@ -163,6 +170,9 @@ object Round9gQueries {
         df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
           .agg(count(lit(1)).as("ndv"), sum("cnt").as("n"),
             max("cnt").as("max_per_key"))
+          // ndv > 0 mirrors the oracle's grouped shape: an EMPTY table
+          // contributes no row, not a row of NULL stats
+          .filter(col("ndv") > 0)
           .select(lit(edge).as("edge"), lit(role).as("side"), col("ndv"),
             col("n"), col("max_per_key"),
             (col("max_per_key").cast("double") *
