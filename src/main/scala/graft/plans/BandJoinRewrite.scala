@@ -33,12 +33,22 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, S
   * matches the equi-key, and is dropped — exactly as the NULL band
   * predicate dropped it before).
   *
+  * Two recognized shapes:
+  *  - `abs(x - y) <= W` (and strict `<`, tightened to W-1) — the
+  *    symmetric band;
+  *  - an upper/lower bound PAIR on the same (x, y) — `x <= y + L2 AND
+  *    x >= y - L1`, i.e. `x.between(y - L1, y + L2)` and its
+  *    `x - y <= hi AND x - y >= lo` spellings — the asymmetric band
+  *    [lo, hi]. The right side is shifted by lo and bucketed at width
+  *    hi - lo, so `lx - (rx + lo)` lands in [0, width] and bucket ids
+  *    differ by at most one.
+  *
   * The match is deliberately conservative, mirroring VectorizeDotFold's
   * exactness discipline:
   *  - INNER join only (outer variants change row preservation under the
   *    explode),
-  *  - exactly one `abs(x - y) <= L` / `abs(x - y) < L` conjunct with a
-  *    positive integral literal L, x and y integral columns from
+  *  - exactly ONE band among the conjuncts (one abs conjunct or one
+  *    bound pair; ambiguity bails out), x and y integral columns from
   *    opposite sides,
   *  - NO equi-join conjunct (if one exists Spark already hash-joins on
   *    it with the band as residual — and the guard doubles as the
@@ -79,6 +89,46 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** One linear bound on (a - b): `a - b <= limit` (upper) or
+    * `a - b >= limit` (lower), recognized from the shapes users
+    * actually write — `a - b <= L`, `a <= b + L`, `a <= b - L`,
+    * `a.between(b - L1, b + L2)`'s two conjuncts — with strict
+    * variants tightened by 1 (integer domains).
+    */
+  private object BoundPredicate {
+    private def ok(a: Expression, b: Expression, t: Any): Boolean =
+      isIntegral(a) && isIntegral(b) &&
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(t)
+    def unapply(e: Expression): Option[(Expression, Expression, Boolean, Long)] =
+      e match {
+        case LessThanOrEqual(Subtract(a, b, _), Literal(v, t)) if ok(a, b, t) =>
+          Some((a, b, true, litLong(v)))
+        case LessThan(Subtract(a, b, _), Literal(v, t)) if ok(a, b, t) =>
+          Some((a, b, true, litLong(v) - 1))
+        case GreaterThanOrEqual(Subtract(a, b, _), Literal(v, t)) if ok(a, b, t) =>
+          Some((a, b, false, litLong(v)))
+        case GreaterThan(Subtract(a, b, _), Literal(v, t)) if ok(a, b, t) =>
+          Some((a, b, false, litLong(v) + 1))
+        case LessThanOrEqual(a, Add(b, Literal(v, t), _)) if ok(a, b, t) =>
+          Some((a, b, true, litLong(v)))
+        case LessThanOrEqual(a, Add(Literal(v, t), b, _)) if ok(a, b, t) =>
+          Some((a, b, true, litLong(v)))
+        case LessThanOrEqual(a, Subtract(b, Literal(v, t), _)) if ok(a, b, t) =>
+          Some((a, b, true, -litLong(v)))
+        case GreaterThanOrEqual(a, Add(b, Literal(v, t), _)) if ok(a, b, t) =>
+          Some((a, b, false, litLong(v)))
+        case GreaterThanOrEqual(a, Add(Literal(v, t), b, _)) if ok(a, b, t) =>
+          Some((a, b, false, litLong(v)))
+        case GreaterThanOrEqual(a, Subtract(b, Literal(v, t), _)) if ok(a, b, t) =>
+          Some((a, b, false, -litLong(v)))
+        case LessThan(a, Add(b, Literal(v, t), _)) if ok(a, b, t) =>
+          Some((a, b, true, litLong(v) - 1))
+        case GreaterThan(a, Subtract(b, Literal(v, t), _)) if ok(a, b, t) =>
+          Some((a, b, false, -litLong(v) + 1))
+        case _ => None
+      }
+  }
+
   /** Equi-conjunct between the two sides — present means Spark already
     * has a hash-join key (and means WE already rewrote this join).
     */
@@ -107,44 +157,84 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       wl, EvalMode.LEGACY)
   }
 
+  /** The detected band: lo <= x - y <= hi on integral sided columns. */
+  private case class Band(x: Expression, y: Expression, lo: Long, hi: Long)
+
+  /** Find ONE band among the conjuncts: either a single abs() conjunct
+    * (symmetric, lo = -W, hi = W) or exactly one matching upper/lower
+    * bound pair on the same (x, y) — the `a.between(b - L1, b + L2)`
+    * shape. Ambiguous matches (several candidate pairs) bail out.
+    */
+  private def findBand(conjuncts: Seq[Expression]): Option[Band] = {
+    val abs = conjuncts.collect { case BandPredicate(x, y, w) =>
+      Band(x, y, -w, w) }
+    val bounds = conjuncts.collect {
+      case BoundPredicate(a, b, isUpper, v) => (a, b, isUpper, v) }
+    val pairs = for {
+      (ux, uy, true, hi) <- bounds
+      (lx, ly, false, lo) <- bounds
+      if ux.semanticEquals(lx) && uy.semanticEquals(ly) && hi > lo
+    } yield Band(ux, uy, lo, hi)
+    (abs, pairs) match {
+      case (Seq(b), Seq()) => Some(b)
+      case (Seq(), Seq(b)) => Some(b)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val bands = conjuncts.collect { case b @ BandPredicate(x, y, w) => (b, x, y, w) }
-      if (bands.size != 1 || conjuncts.exists(isCrossEqui(_, left, right))) j
-      else {
-        val (_, x, y, w) = bands.head
-        // orient: which band argument comes from which side?
-        val oriented =
-          if (x.references.nonEmpty && y.references.nonEmpty &&
-            x.references.subsetOf(left.outputSet) &&
-            y.references.subsetOf(right.outputSet)) Some((x, y))
-          else if (x.references.nonEmpty && y.references.nonEmpty &&
-            y.references.subsetOf(left.outputSet) &&
-            x.references.subsetOf(right.outputSet)) Some((y, x))
-          else None
-        oriented match {
-          case None => j
-          case Some((lx, rx)) =>
-            val b = floorBucket(lx, w)
-            val one = Literal(1L, LongType)
-            val arr = CreateArray(Seq(
-              Subtract(b, one, EvalMode.LEGACY), b,
-              Add(b, one, EvalMode.LEGACY)))
-            val bkAttr = AttributeReference("__graft_band_bk",
-              LongType, nullable = arr.dataType.asInstanceOf[ArrayType].containsNull)()
-            val leftGen = Generate(Explode(arr), unrequiredChildIndex = Nil,
-              outer = false, qualifier = None,
-              generatorOutput = Seq(bkAttr), child = left)
-            val rAlias = Alias(floorBucket(rx, w), "__graft_band_bk_r")()
-            val rightProj = Project(right.output :+ rAlias, right)
-            val newCond = And(EqualTo(bkAttr, rAlias.toAttribute), cond)
-            val rewritten = Project(j.output,
-              Join(leftGen, rightProj, Inner, Some(newCond), hint))
-            logInfo(s"BandJoinRewrite: decomposed keyless band join " +
-              s"(width $w) into a +/-1-bucket equi-join")
-            rewritten
-        }
+      if (conjuncts.exists(isCrossEqui(_, left, right))) j
+      else findBand(conjuncts) match {
+        case None => j
+        case Some(Band(x, y, lo0, hi0)) =>
+          // orient: which band argument comes from which side? (a band
+          // on x - y read from the right side flips to y - x in
+          // [-hi, -lo])
+          val oriented =
+            if (x.references.nonEmpty && y.references.nonEmpty &&
+              x.references.subsetOf(left.outputSet) &&
+              y.references.subsetOf(right.outputSet))
+              Some((x, y, lo0, hi0))
+            else if (x.references.nonEmpty && y.references.nonEmpty &&
+              y.references.subsetOf(left.outputSet) &&
+              x.references.subsetOf(right.outputSet))
+              Some((y, x, -hi0, -lo0))
+            else None
+          oriented match {
+            case None => j
+            case Some((lx, rx, lo, hi)) =>
+              // symmetric bands bucket both sides raw at width hi;
+              // asymmetric bands shift the right side by lo and bucket
+              // at width hi - lo, so lx - (rx + lo) lands in [0, width]
+              // and the bucket ids differ by at most 1 either way
+              val (width, rShifted) =
+                if (lo == -hi && hi > 0) (hi, rx)
+                else (math.max(hi - lo, 1L),
+                  Add(if (rx.dataType == LongType) rx else Cast(rx, LongType),
+                    Literal(lo, LongType), EvalMode.LEGACY))
+              val b = floorBucket(lx, width)
+              val one = Literal(1L, LongType)
+              val arr = CreateArray(Seq(
+                Subtract(b, one, EvalMode.LEGACY), b,
+                Add(b, one, EvalMode.LEGACY)))
+              val bkAttr = AttributeReference("__graft_band_bk",
+                LongType,
+                nullable = arr.dataType.asInstanceOf[ArrayType].containsNull)()
+              val leftGen = Generate(Explode(arr), unrequiredChildIndex = Nil,
+                outer = false, qualifier = None,
+                generatorOutput = Seq(bkAttr), child = left)
+              val rAlias = Alias(floorBucket(rShifted, width),
+                "__graft_band_bk_r")()
+              val rightProj = Project(right.output :+ rAlias, right)
+              val newCond = And(EqualTo(bkAttr, rAlias.toAttribute), cond)
+              val rewritten = Project(j.output,
+                Join(leftGen, rightProj, Inner, Some(newCond), hint))
+              logInfo(s"BandJoinRewrite: decomposed keyless band join " +
+                s"([$lo, $hi]) into a +/-1-bucket equi-join")
+              rewritten
+          }
       }
   }
 }

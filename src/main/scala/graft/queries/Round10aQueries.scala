@@ -25,6 +25,10 @@ import org.apache.spark.sql.types.DecimalType
   *    (15 s / 30 s / 60 s) — the selectivity curve a pipeline owner
   *    reads before picking a join window; three naive joins, three
   *    rewrites, one union of 1-row aggregates.
+  *  - q_between_join_auto: the ASYMMETRIC band via the between() API —
+  *    purchases from 30 s before to 90 s after each view
+  *    (`p_us.between(v_us - 30s, v_us + 90s)`): the bound-PAIR shape
+  *    of the rewrite (right side shifted by lo, bucket width hi - lo).
   */
 object Round10aQueries {
 
@@ -72,6 +76,25 @@ object Round10aQueries {
           countDistinct(col("vid")).as("n_views_matched"),
           min(col("p_value")).cast(dec).cast("string").cast("double")
             .as("min_value"),
+          sum(col("p_value").cast(dec))
+            .cast("string").cast("double").as("sum_value"))
+    }),
+
+    "q_between_join_auto" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("vid"), col("us").as("v_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("us").as("p_us"),
+          col("value").as("p_value"))
+      // the naive asymmetric formulation — BandJoinRewrite detects the
+      // bound pair and decomposes it; stock Spark plans a BNLJ
+      purchases.join(views,
+          col("p_us").between(col("v_us") - 30L * 1000000L,
+            col("v_us") + 90L * 1000000L))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("vid")).as("n_views_matched"),
+          countDistinct(col("pid")).as("n_purchases_matched"),
           sum(col("p_value").cast(dec))
             .cast("string").cast("double").as("sum_value"))
     }),
@@ -131,6 +154,25 @@ object Round10aQueries {
         |  CAST(COUNT(DISTINCT vid) AS BIGINT) AS n_views_matched,
         |  CAST(CAST(CAST(MIN(p_value) AS DECIMAL(18,2)) AS VARCHAR)
         |    AS DOUBLE) AS min_value,
+        |  CAST(CAST(SUM(CAST(p_value AS DECIMAL(18,2))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_value
+        |FROM pairs""".stripMargin,
+
+    "q_between_join_auto" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT event_id AS vid, us AS v_us FROM e WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT event_id AS pid, us AS p_us, value AS p_value FROM e
+        |  WHERE event_type = 'purchase'
+        |), pairs AS (
+        |  SELECT vid, pid, p_value FROM p JOIN v
+        |    ON p_us BETWEEN v_us - 30000000 AND v_us + 90000000
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT vid) AS BIGINT) AS n_views_matched,
+        |  CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases_matched,
         |  CAST(CAST(SUM(CAST(p_value AS DECIMAL(18,2))) AS VARCHAR)
         |    AS DOUBLE) AS sum_value
         |FROM pairs""".stripMargin,

@@ -58,6 +58,36 @@ class BandJoinRewriteSpec extends AnyFunSuite with SparkSuite {
     assert(j.count() == bruteCount(100L, strict = true))
   }
 
+  test("asymmetric between() bands decompose too") {
+    // lo = -40, hi = 100: the bound-PAIR shape (right side shifted by
+    // lo, bucket width hi - lo)
+    val j = longDf("a", aTs).join(longDf("b", bTs),
+      col("a_ts").between(col("b_ts") - 40L, col("b_ts") + 100L))
+    assert(!hasNestedLoop(j), "between band was not decomposed:\n" +
+      j.queryExecution.executedPlan.toString)
+    val expected = aTs.flatMap(a => bTs.filter(b =>
+      a >= b - 40L && a <= b + 100L)).size.toLong
+    assert(j.count() == expected)
+  }
+
+  test("x - y bound pairs decompose (spelled as two inequalities)") {
+    val j = longDf("a", aTs).join(longDf("b", bTs),
+      col("a_ts") - col("b_ts") <= 70L && col("a_ts") - col("b_ts") >= -20L)
+    assert(!hasNestedLoop(j))
+    val expected = aTs.flatMap(a => bTs.filter(b =>
+      a - b <= 70L && a - b >= -20L)).size.toLong
+    assert(j.count() == expected)
+  }
+
+  test("a one-sided inequality alone is NOT rewritten") {
+    val j = longDf("a", aTs).join(longDf("b", bTs),
+      col("a_ts") <= col("b_ts") + 100L)
+    val gen = j.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gen.isEmpty, "rule fired on a half-open band")
+  }
+
   test("sibling residual conjuncts survive the rewrite") {
     val j = longDf("a", aTs).join(longDf("b", bTs),
       abs(col("a_ts") - col("b_ts")) <= 100L && col("b_ts") > 0L)

@@ -29,6 +29,18 @@ class Round10QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(auto.getDouble(3) == hand.getDouble(3))
   }
 
+  test("q_between_join_auto: asymmetric band equals the brute-force count") {
+    import org.apache.spark.sql.functions._
+    val auto = run(Round10aQueries.queries, "q_between_join_auto").collect()(0)
+    val ev = graft.Tables(spark, sf0001, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+    val vs = ev.filter(_.getString(0) == "view").map(_.getLong(1))
+    val ps = ev.filter(_.getString(0) == "purchase").map(_.getLong(1))
+    val expected = ps.map(p => vs.count(v =>
+      p >= v - 30000000L && p <= v + 90000000L).toLong).sum
+    assert(auto.getLong(0) == expected)
+  }
+
   test("q_band_join_width_sweep: pair counts monotone in the band width") {
     val rows = run(Round10aQueries.queries, "q_band_join_width_sweep")
       .collect()
