@@ -136,7 +136,8 @@ object SparkEntry {
     Round10gQueries.queries ++
     Round10hQueries.queries ++
     Round10iQueries.queries ++
-    Round10jQueries.queries
+    Round10jQueries.queries ++
+    Round10kQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -245,5 +246,6 @@ object SparkEntry {
     Round10gQueries.oracle ++
     Round10hQueries.oracle ++
     Round10iQueries.oracle ++
-    Round10jQueries.oracle
+    Round10jQueries.oracle ++
+    Round10kQueries.oracle
 }

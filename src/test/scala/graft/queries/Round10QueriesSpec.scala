@@ -263,6 +263,21 @@ class Round10QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10k: format roundtrips ----------------------------------------
+
+  test("format roundtrips: counts honest, all integrity flags true") {
+    Seq("q_csv_roundtrip", "q_json_roundtrip", "q_partitioned_roundtrip")
+      .foreach { q =>
+        val r = run(Round10kQueries.queries, q).collect()(0)
+        assert(r.getLong(0) == r.getLong(1), s"$q: row counts differ")
+        val flags = (2 until r.length).collect {
+          case i if r.get(i).isInstanceOf[Boolean] => r.getBoolean(i)
+        }
+        assert(flags.nonEmpty && flags.forall(identity),
+          s"$q: integrity flag false: $r")
+      }
+  }
+
   // ---- 10j: token budget ---------------------------------------------
 
   test("q_token_budget_fit: allocations within caps, near budget") {
