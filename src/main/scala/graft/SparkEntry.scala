@@ -137,7 +137,8 @@ object SparkEntry {
     Round10hQueries.queries ++
     Round10iQueries.queries ++
     Round10jQueries.queries ++
-    Round10kQueries.queries
+    Round10kQueries.queries ++
+    Round10lQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -247,5 +248,6 @@ object SparkEntry {
     Round10hQueries.oracle ++
     Round10iQueries.oracle ++
     Round10jQueries.oracle ++
-    Round10kQueries.oracle
+    Round10kQueries.oracle ++
+    Round10lQueries.oracle
 }
