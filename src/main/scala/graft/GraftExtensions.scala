@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash_sig",
         "_FUNC_(shingles) - 8-slot MinHash signature"),
       (exprs: Seq[Expression]) => MinhashSignature(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "_FUNC_(a, b) - Jaro-Winkler similarity (DuckDB-compatible)"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_bloom_might_contain"),
       info("graft_bloom_might_contain",
         "_FUNC_(bloom, key) - membership probe against a bloom bitmap"),

@@ -138,7 +138,8 @@ object SparkEntry {
     Round10iQueries.queries ++
     Round10jQueries.queries ++
     Round10kQueries.queries ++
-    Round10lQueries.queries
+    Round10lQueries.queries ++
+    Round10mQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -249,5 +250,6 @@ object SparkEntry {
     Round10iQueries.oracle ++
     Round10jQueries.oracle ++
     Round10kQueries.oracle ++
-    Round10lQueries.oracle
+    Round10lQueries.oracle ++
+    Round10mQueries.oracle
 }

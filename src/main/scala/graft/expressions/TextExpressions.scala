@@ -70,6 +70,8 @@ object TextExpressions {
   }
 
   def register(spark: SparkSession): Unit = {
+    Registration.tempFn(spark, "graft_jaro_winkler",
+      exprs => JaroWinkler(exprs(0), exprs(1)))
     Registration.tempFn(spark, "graft_minhash_bands",
       exprs => MinhashBandKeys(exprs.head))
     Registration.tempFn(spark, "graft_array_intersect_size",
@@ -272,6 +274,103 @@ case class MinhashSignature(child: Expression, numHashes: Int = 8)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Jaro–Winkler similarity over the raw utf-8 bytes of two strings —
+  * bitwise-identical to DuckDB's `jaro_winkler_similarity` (the oracle
+  * side), pinned by an empirical battery in Round10xQueriesSpec:
+  *
+  *  - either side empty -> 0.0 (INCLUDING both empty — not 1.0);
+  *  - match window = max(len)/2 − 1 (floored, min 0), first-unmatched
+  *    scan ascending;
+  *  - m = 0 -> 0.0; transpositions t = (mismatched aligned matches)/2.0
+  *    (float half-transpositions, not integer division);
+  *  - jaro = (m/l1 + m/l2 + (m − t)/m) / 3 evaluated left-to-right;
+  *  - Winkler boost ONLY when jaro > 0.7: jaro + p·0.1·(1 − jaro) with
+  *    common prefix p ≤ 4, products left-to-right.
+  *
+  * The arithmetic ORDER is part of the contract — every step is a
+  * correctly-rounded IEEE op on exact integers or their quotients, so
+  * evaluating in the same order as the oracle engine makes the double
+  * bitwise-reproducible (same determinism rule as DetMath). Byte-wise
+  * comparison equals code-point comparison for the ASCII name/text
+  * columns this engine scores; like the built-in levenshtein it is
+  * byte-oriented on multi-byte input.
+  *
+  * Runs per candidate PAIR inside blocked fuzzy-match joins, so it
+  * codegens as a static call that keeps the surrounding
+  * WholeStageCodegen span fused (same rationale as ArrayIntersectSize).
+  */
+object JaroWinklerFn {
+  def jw(sa: UTF8String, sb: UTF8String): Double = {
+    val a = sa.getBytes
+    val b = sb.getBytes
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max((if (l1 > l2) l1 else l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      var j = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var done = false
+      while (j <= hi && !done) {
+        if (!m2(j) && a(i) == b(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var tFull = 0
+    var j2 = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j2)) j2 += 1
+        if (a(i) != b(j2)) tFull += 1
+        j2 += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val t = tFull / 2.0
+    val jaro = (md / l1 + md / l2 + (md - t) / md) / 3.0
+    if (jaro > 0.7) {
+      val maxP = math.min(4, math.min(l1, l2))
+      var p = 0
+      while (p < maxP && a(p) == b(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}
+
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == StringType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string arguments")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerFn.jw(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.JaroWinklerFn.jw($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** |A ∩ B| over SORTED distinct string arrays (ShingleArray output) — the

@@ -53,6 +53,57 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10m: Jaro-Winkler fuzzy matching ------------------------------
+
+  test("JaroWinkler expression matches the DuckDB-pinned battery bitwise") {
+    import graft.expressions.JaroWinklerFn.jw
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // expected values are DuckDB jaro_winkler_similarity outputs,
+    // captured at 17 significant digits (bitwise for doubles)
+    val battery = Seq(
+      ("martha", "marhta", 0.96111111111111114),
+      ("dixon", "dicksonx", 0.81333333333333324),
+      ("abcdef", "abxxxx", 0.55555555555555547), // sub-0.7: NO boost
+      ("ab", "ba", 0.0),
+      ("a", "", 0.0),
+      ("", "a", 0.0),
+      ("", "", 0.0), // both empty is 0, not 1 (DuckDB semantics)
+      ("a", "a", 1.0),
+      ("abc", "acb", 0.55555555555555547),
+      ("crate", "trace", 0.73333333333333339),
+      ("dwayne", "duane", 0.84000000000000008),
+      ("Customer#000000001", "Customer#000000010", 0.98888888888888893),
+      ("abcde", "abdce", 0.94666666666666655),
+      ("xyz", "zyx", 0.55555555555555547),
+      ("aa", "aaaa", 0.8666666666666667))
+    battery.foreach { case (a, b, expected) =>
+      assert(jw(u(a), u(b)) == expected, s"jw($a, $b)")
+      assert(jw(u(b), u(a)) == jw(u(a), u(b)), s"symmetry jw($a, $b)")
+    }
+  }
+
+  test("q_jw_blocked_pairs: bucket histogram accounts for every blocked pair") {
+    val rows = run(Round10mQueries.queries, "q_jw_blocked_pairs").collect()
+    val total = rows.map(_.getLong(1)).sum
+    val sizes = graft.Tables(spark, sf0001, "customer")
+      .groupBy(expr("c_custkey div 100")).count().collect().map(_.getLong(1))
+    val expected = sizes.map(n => n * (n - 1) / 2).sum
+    assert(total == expected)
+    rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) <= 1000))
+  }
+
+  test("q_jw_part_dedup: scores in [0.8, 1) and blocked by first word") {
+    val rows = run(Round10mQueries.queries, "q_jw_part_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1) != r.getString(2))
+      assert(r.getString(1).startsWith(r.getString(0) + " "))
+      assert(r.getString(2).startsWith(r.getString(0) + " "))
+      val jw = r.getDouble(3)
+      assert(jw >= 0.8 && jw < 1.0)
+    }
+  }
+
   test("q_item_lift: lift equals its exact integer numerator/denominator") {
     val rows = run(Round10lQueries.queries, "q_item_lift").collect()
     rows.foreach { r =>
