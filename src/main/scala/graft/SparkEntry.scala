@@ -139,7 +139,8 @@ object SparkEntry {
     Round10jQueries.queries ++
     Round10kQueries.queries ++
     Round10lQueries.queries ++
-    Round10mQueries.queries
+    Round10mQueries.queries ++
+    Round10nQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -251,5 +252,6 @@ object SparkEntry {
     Round10jQueries.oracle ++
     Round10kQueries.oracle ++
     Round10lQueries.oracle ++
-    Round10mQueries.oracle
+    Round10mQueries.oracle ++
+    Round10nQueries.oracle
 }

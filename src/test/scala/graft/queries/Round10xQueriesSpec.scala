@@ -53,6 +53,46 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10n: Shapley attribution --------------------------------------
+
+  test("q_shapley_attribution: efficiency — shares sum to the grand value") {
+    val phis = run(Round10nQueries.queries, "q_shapley_attribution")
+      .collect()
+    val lat = run(Round10nQueries.queries, "q_coalition_values").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // sum of phi*24 over channels == 24 * (v(full) - v(empty))
+    assert(phis.map(_.getLong(1)).sum == 24L * (lat(15L) - lat(0L)))
+    phis.foreach(r => assert(r.getDouble(2) == r.getLong(1).toDouble / 24.0))
+  }
+
+  test("q_coalition_values: v monotone under set inclusion") {
+    val lat = run(Round10nQueries.queries, "q_coalition_values").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (s <- 0 until 16; b <- Seq(1, 2, 4, 8) if (s & b) == 0)
+      assert(lat(s.toLong) <= lat((s | b).toLong), s"v($s) > v(${s | b})")
+    // v(S) equals the sum of exact-subset conversions it covers
+    val exact = run(Round10nQueries.queries, "q_coalition_values").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (s <- 0 until 16) {
+      val expected = (0 until 16)
+        .filter(m => (m & s) == m).map(m => exact(m.toLong)).sum
+      assert(lat(s.toLong) == expected, s"v($s)")
+    }
+  }
+
+  test("q_attribution_compare: the three rules conserve total credit") {
+    val rows = run(Round10nQueries.queries, "q_attribution_compare")
+      .collect()
+    val lat = run(Round10nQueries.queries, "q_coalition_values").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows.map(_.getLong(1)).sum == 24L * (lat(15L) - lat(0L)))
+    // last-touch and linear distribute over converters WITH touches:
+    // 24*(touched converters) and 12*(touched converters) respectively
+    val touched = lat(15L) - lat(0L)
+    assert(rows.map(_.getLong(2)).sum == touched)
+    assert(rows.map(_.getLong(3)).sum == 12L * touched)
+  }
+
   // ---- 10m: Jaro-Winkler fuzzy matching ------------------------------
 
   test("JaroWinkler expression matches the DuckDB-pinned battery bitwise") {
