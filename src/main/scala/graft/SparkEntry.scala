@@ -140,7 +140,8 @@ object SparkEntry {
     Round10kQueries.queries ++
     Round10lQueries.queries ++
     Round10mQueries.queries ++
-    Round10nQueries.queries
+    Round10nQueries.queries ++
+    Round10oQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -253,5 +254,6 @@ object SparkEntry {
     Round10kQueries.oracle ++
     Round10lQueries.oracle ++
     Round10mQueries.oracle ++
-    Round10nQueries.oracle
+    Round10nQueries.oracle ++
+    Round10oQueries.oracle
 }

@@ -53,6 +53,46 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10o: supervised categorical encoders --------------------------
+
+  test("q_woe_iv: WOE sign tracks the segment rate vs the global rate") {
+    val rows = run(Round10oQueries.queries, "q_woe_iv").collect()
+    assert(rows.nonEmpty)
+    val gt = rows.map(_.getLong(2)).sum
+    val bt = rows.map(_.getLong(3)).sum
+    rows.foreach { r =>
+      val (g, b, woe) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      // smoothed odds-ratio > 1 <=> woe > 0 (ln is monotone)
+      val num = (2 * g + 1) * (2 * bt + 5)
+      val den = (2 * b + 1) * (2 * gt + 5)
+      assert((num > den) == (woe > 0), s"segment ${r.getString(0)}")
+    }
+  }
+
+  test("q_target_encode_loo: closed form matches per-row leave-one-out") {
+    val rows = run(Round10oQueries.queries, "q_target_encode_loo").collect()
+    rows.foreach { r =>
+      val (n, g) = (r.getLong(1), r.getLong(2))
+      if (g > 0 && n > 1)
+        assert(r.getDouble(3) == (g - 1).toDouble / (n - 1).toDouble)
+      if (n - g > 0 && n > 1)
+        assert(r.getDouble(4) == g.toDouble / (n - 1).toDouble)
+    }
+  }
+
+  test("q_kfold_target_encode: in/out cells partition each segment") {
+    val rows = run(Round10oQueries.queries, "q_kfold_target_encode")
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      val nTot = cells.head.getLong(2) + cells.head.getLong(4)
+      cells.foreach { c =>
+        assert(c.getLong(2) + c.getLong(4) == nTot) // n_in + n_out const
+        assert(c.getLong(3) <= c.getLong(2))        // g_in <= n_in
+      }
+      assert(cells.map(_.getLong(1)).distinct.length == cells.length)
+    }
+  }
+
   // ---- 10n: Shapley attribution --------------------------------------
 
   test("q_shapley_attribution: efficiency — shares sum to the grand value") {
