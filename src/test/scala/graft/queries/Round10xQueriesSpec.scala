@@ -53,6 +53,42 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10p: market-data bars ------------------------------------------
+
+  test("q_ohlc_daily: low <= open/close <= high, volume positive") {
+    val rows = run(Round10pQueries.queries, "q_ohlc_daily").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+      assert(l <= o && o <= h)
+      assert(l <= c && c <= h)
+      assert(r.getLong(5) > 0)
+    }
+  }
+
+  test("q_vwap_daily: vwap between min and max line price ratio bounds") {
+    val rows = run(Round10pQueries.queries, "q_vwap_daily").collect()
+    rows.foreach { r =>
+      val (num, den, vwap) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+      assert(vwap == num / den)
+      assert(vwap > 0)
+    }
+  }
+
+  test("q_bollinger_daily: band geometry and window width") {
+    val rows = run(Round10pQueries.queries, "q_bollinger_daily").collect()
+    rows.foreach { r =>
+      val (m, mean, sd, up, lo) = (r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(m >= 1 && m <= 7)
+      assert(sd >= 0.0)
+      assert(up == mean + 2.0 * sd && lo == mean - 2.0 * sd)
+      assert(up >= lo)
+    }
+  }
+
   // ---- 10o: supervised categorical encoders --------------------------
 
   test("q_woe_iv: WOE sign tracks the segment rate vs the global rate") {
