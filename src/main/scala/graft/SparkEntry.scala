@@ -147,7 +147,8 @@ object SparkEntry {
     (Round10mQueries.queries, Round10mQueries.oracle),
     (Round10nQueries.queries, Round10nQueries.oracle),
     (Round10oQueries.queries, Round10oQueries.oracle),
-    (Round10pQueries.queries, Round10pQueries.oracle))
+    (Round10pQueries.queries, Round10pQueries.oracle),
+    (Round10qQueries.queries, Round10qQueries.oracle))
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]

@@ -53,6 +53,42 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10q: inverted-index planning -----------------------------------
+
+  test("q_posting_gaps: spans and gaps consistent with df") {
+    val rows = run(Round10qQueries.queries, "q_posting_gaps").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (df, first, last) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(first <= last)
+      assert(last - first + 1 >= df) // ids are distinct
+      if (df > 1) assert(r.getDouble(4) ==
+        (last - first).toDouble / (df - 1).toDouble)
+    }
+  }
+
+  test("q_index_bits_plan: delta encoding never beats the id-space bound") {
+    val rows = run(Round10qQueries.queries, "q_index_bits_plan").collect()
+    rows.foreach { r =>
+      val (df, bd, bf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bf == 32 * df)
+      // 32 raw bits for the head + >= 1 bit per delta
+      assert(bd >= 32 + (df - 1))
+      assert(r.getDouble(4) == bf.toDouble / bd.toDouble)
+    }
+  }
+
+  test("q_skip_pointer_plan: sqrt layout arithmetic") {
+    val rows = run(Round10qQueries.queries, "q_skip_pointer_plan").collect()
+    rows.foreach { r =>
+      val (df, k, n, w) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(k * k <= df && (k + 1) * (k + 1) > df)
+      assert(n == df / k)
+      assert(w == n + k)
+    }
+  }
+
   // ---- 10p: market-data bars ------------------------------------------
 
   test("q_ohlc_daily: low <= open/close <= high, volume positive") {
