@@ -53,6 +53,38 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10r: caliper matching -------------------------------------------
+
+  test("q_caliper_match: matched subset of treated, gaps inside caliper") {
+    val r = run(Round10rQueries.queries, "q_caliper_match").collect()(0)
+    val (nT, nM, nC, mass) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nM <= nT)
+    assert(nC <= nM)
+    assert(mass <= 1000L * nM) // every matched gap <= the caliper
+    if (nM > 0) assert(r.getDouble(5) == mass.toDouble / nM.toDouble)
+  }
+
+  test("q_matched_att: att equals the pair-mass ratio") {
+    val r = run(Round10rQueries.queries, "q_matched_att").collect()(0)
+    val (n, dy) = (r.getLong(0), r.getLong(1))
+    if (n > 0) assert(r.getDouble(2) == dy.toDouble / n.toDouble)
+  }
+
+  test("q_match_balance: matching tightens the covariate SMD") {
+    val rows = run(Round10rQueries.queries, "q_match_balance").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val before = rows("before")
+    val after = rows("after")
+    // balances are real numbers; after-matching |SMD| must shrink
+    // (nearest-neighbor within a tight caliper) — on the synthetic
+    // data both exist and before is nonzero
+    if (!before.isNullAt(7) && !after.isNullAt(7))
+      assert(math.abs(after.getDouble(7)) <= math.abs(before.getDouble(7)))
+    // matched arms have equal row counts (1:1 matching)
+    assert(after.getLong(1) == after.getLong(2))
+  }
+
   // ---- 10q: inverted-index planning -----------------------------------
 
   test("q_posting_gaps: spans and gaps consistent with df") {
