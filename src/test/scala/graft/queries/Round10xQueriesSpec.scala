@@ -53,6 +53,40 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10s: uplift modeling --------------------------------------------
+
+  test("q_uplift_by_segment: rates are the exact cell ratios") {
+    val rows = run(Round10sQueries.queries, "q_uplift_by_segment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nT, cT, nC, cC) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(cT <= nT && cC <= nC)
+      if (nT > 0) assert(r.getDouble(5) == cT.toDouble / nT.toDouble)
+      if (nC > 0) assert(r.getDouble(6) == cC.toDouble / nC.toDouble)
+    }
+  }
+
+  test("q_qini_curve: prefix is monotone in k and ends at the totals") {
+    val rows = run(Round10sQueries.queries, "q_qini_curve").collect()
+    val ks = rows.map(_.getInt(0))
+    assert(ks.sameElements(1 to rows.length))
+    val cums = rows.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    val cells = run(Round10sQueries.queries, "q_uplift_by_segment")
+      .collect()
+    assert(rows.last.getLong(3) == cells.map(_.getLong(1)).sum)
+    assert(rows.last.getLong(4) == cells.map(_.getLong(2)).sum)
+  }
+
+  test("q_srm_check: an md5 coin never trips the 3-sigma SRM gate") {
+    val rows = run(Round10sQueries.queries, "q_srm_check").collect()
+    rows.foreach { r =>
+      assert(!r.getBoolean(4),
+        s"stratum ${r.getInt(0)}: chi2 ${r.getDouble(3)}")
+    }
+  }
+
   // ---- 10r: caliper matching -------------------------------------------
 
   test("q_caliper_match: matched subset of treated, gaps inside caliper") {
