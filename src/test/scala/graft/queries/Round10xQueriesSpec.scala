@@ -53,6 +53,36 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10t: recommender holdout evaluation ------------------------------
+
+  test("q_rec_holdout_hitrate: hits within covered within all") {
+    val r = run(Round10tQueries.queries, "q_rec_holdout_hitrate")
+      .collect()(0)
+    val (n, nc, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nh <= nc && nc <= n)
+    if (nc > 0) assert(r.getDouble(3) == nh.toDouble / nc.toDouble)
+    if (n > 0) assert(r.getDouble(4) == nh.toDouble / n.toDouble)
+  }
+
+  test("q_rec_popularity_baseline: hit count bounded by items") {
+    val r = run(Round10tQueries.queries, "q_rec_popularity_baseline")
+      .collect()(0)
+    val (n, nh) = (r.getLong(0), r.getLong(1))
+    assert(nh <= n)
+    if (n > 0) assert(r.getDouble(2) == nh.toDouble / n.toDouble)
+  }
+
+  test("q_rec_catalog_coverage: covered subsets and ratio arithmetic") {
+    val r = run(Round10tQueries.queries, "q_rec_catalog_coverage")
+      .collect()(0)
+    val (cat, recced, td, tcov) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(recced <= cat)
+    assert(tcov <= td)
+    if (cat > 0) assert(r.getDouble(4) == recced.toDouble / cat.toDouble)
+    if (td > 0) assert(r.getDouble(5) == tcov.toDouble / td.toDouble)
+  }
+
   // ---- 10s: uplift modeling --------------------------------------------
 
   test("q_uplift_by_segment: rates are the exact cell ratios") {
