@@ -53,6 +53,40 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10u: ClickHouse aggregate analogs --------------------------------
+
+  test("q_bounding_ratio: slope equals the endpoint quotient") {
+    val rows = run(Round10uQueries.queries, "q_bounding_ratio").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (fc, lc, fu, lu) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+      assert(fu <= lu)
+      if (lu > fu)
+        assert(r.getDouble(6) == (lc - fc).toDouble / (lu - fu).toDouble)
+    }
+  }
+
+  test("q_delta_sum: nonnegative and zero for single-event users") {
+    val rows = run(Round10uQueries.queries, "q_delta_sum").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0)
+      if (r.getLong(1) == 1) assert(r.getLong(2) == 0)
+    }
+  }
+
+  test("q_sequence_next_node: users counted once, types from the alphabet") {
+    val rows = run(Round10uQueries.queries, "q_sequence_next_node")
+      .collect()
+    val alphabet = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach(r => assert(alphabet.contains(r.getString(0))))
+    // every counted user has a view->click chain with a successor:
+    // bounded above by the total user population
+    val nUsers = graft.Tables(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum <= nUsers)
+  }
+
   // ---- 10t: recommender holdout evaluation ------------------------------
 
   test("q_rec_holdout_hitrate: hits within covered within all") {
