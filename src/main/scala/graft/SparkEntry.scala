@@ -152,7 +152,8 @@ object SparkEntry {
     (Round10rQueries.queries, Round10rQueries.oracle),
     (Round10sQueries.queries, Round10sQueries.oracle),
     (Round10tQueries.queries, Round10tQueries.oracle),
-    (Round10uQueries.queries, Round10uQueries.oracle))
+    (Round10uQueries.queries, Round10uQueries.oracle),
+    (Round10vQueries.queries, Round10vQueries.oracle))
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]

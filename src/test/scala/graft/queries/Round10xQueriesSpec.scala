@@ -53,6 +53,37 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10v: randomization inference --------------------------------------
+
+  test("q_permutation_test: p-value is the exact placebo rank") {
+    val r = run(Round10vQueries.queries, "q_permutation_test").collect()(0)
+    val (nP, nE) = (r.getLong(3), r.getLong(4))
+    assert(nP == 20)
+    assert(nE >= 0 && nE <= nP)
+    assert(r.getDouble(5) == (1 + nE).toDouble / (1 + nP).toDouble)
+    // an md5-coin "treatment" has no real effect: the permutation test
+    // must NOT reject at alpha = 1/21 (the smallest attainable level)
+    assert(r.getDouble(5) > 1.0 / 21.0)
+  }
+
+  test("q_placebo_distribution: k=0 row present plus 20 placebos") {
+    val rows = run(Round10vQueries.queries, "q_placebo_distribution")
+      .collect()
+    assert(rows.length == 21)
+    assert(rows.map(_.getInt(0)).sameElements(0 to 20))
+    // arms partition the same user population under every relabeling
+    val totals = rows.map(r => r.getLong(1) + r.getLong(2)).distinct
+    assert(totals.length == 1)
+  }
+
+  test("q_perm_test_strata: stratified p-value well-formed and non-reject") {
+    val r = run(Round10vQueries.queries, "q_perm_test_strata").collect()(0)
+    val (nP, nE) = (r.getLong(1), r.getLong(2))
+    assert(nP == 20)
+    assert(r.getDouble(3) == (1 + nE).toDouble / (1 + nP).toDouble)
+    assert(r.getDouble(3) > 1.0 / 21.0)
+  }
+
   // ---- 10u: ClickHouse aggregate analogs --------------------------------
 
   test("q_bounding_ratio: slope equals the endpoint quotient") {
