@@ -158,7 +158,18 @@ object SparkEntry {
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]
     groups.foreach(g => b ++= g._1)
-    b.result()
+    val merged = b.result()
+    // a key declared in two batches would silently SHADOW the earlier
+    // one (Map ++ keeps the later entry) — its oracle, contract, and
+    // floor would then disagree about which query they describe. Caught
+    // live once (q_permutation_test, round-10 continuation); fail loud.
+    val declared = groups.map(_._1.size).sum
+    require(merged.size == declared, {
+      val dups = groups.flatMap(_._1.keys)
+        .groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+      s"duplicate query keys across batches: ${dups.mkString(", ")}"
+    })
+    merged
   }
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

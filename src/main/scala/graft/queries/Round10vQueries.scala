@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * multiplies the USER frame (already aggregated) by K, not the event
   * log.
   *
-  *  - q_permutation_test: observed treated-vs-control spend diff +
+  *  - q_randomization_test: observed treated-vs-control spend diff +
   *    exact permutation p-value from 20 placebo relabelings.
   *  - q_placebo_distribution: the full (k, diff) null distribution —
   *    the auditable artifact behind the p-value.
@@ -82,7 +82,7 @@ object Round10vQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "q_permutation_test" -> ((s, dir) => {
+    "q_randomization_test" -> ((s, dir) => {
       val d = graft.CacheScope.retain(diffs(cells(s, dir)))
       // 1-row AGGREGATE (not a filter projection): on degenerate input
       // with no k = 0 row (empty events / single-arm data) this still
@@ -203,7 +203,7 @@ object Round10vQueries {
 
   val oracle: Map[String, String] = Map(
 
-    "q_permutation_test" ->
+    "q_randomization_test" ->
       s"""WITH $baseSql
          |SELECT
          |  (SELECT diff FROM diffs WHERE k = 0) AS observed,

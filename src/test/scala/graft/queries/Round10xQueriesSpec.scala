@@ -55,8 +55,8 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
 
   // ---- 10v: randomization inference --------------------------------------
 
-  test("q_permutation_test: p-value is the exact placebo rank") {
-    val r = run(Round10vQueries.queries, "q_permutation_test").collect()(0)
+  test("q_randomization_test: p-value is the exact placebo rank") {
+    val r = run(Round10vQueries.queries, "q_randomization_test").collect()(0)
     val (nP, nE) = (r.getLong(3), r.getLong(4))
     assert(nP == 20)
     assert(nE >= 0 && nE <= nP)
