@@ -153,7 +153,8 @@ object SparkEntry {
     (Round10sQueries.queries, Round10sQueries.oracle),
     (Round10tQueries.queries, Round10tQueries.oracle),
     (Round10uQueries.queries, Round10uQueries.oracle),
-    (Round10vQueries.queries, Round10vQueries.oracle))
+    (Round10vQueries.queries, Round10vQueries.oracle),
+    (Round10wQueries.queries, Round10wQueries.oracle))
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]

@@ -53,6 +53,40 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 10w: conversion latency -------------------------------------------
+
+  test("q_conversion_latency_hist: buckets cover disjoint log2 ranges") {
+    val rows = run(Round10wQueries.queries, "q_conversion_latency_hist")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getInt(0), r.getLong(2), r.getLong(3))
+      assert(lo <= hi)
+      // bucket = floor(log2(latency + 1))
+      assert((1L << b) <= lo + 1 && hi + 1 < (2L << b))
+    }
+  }
+
+  test("q_conversion_latency_quantiles: p50 <= p90, exact data points") {
+    val rows = run(Round10wQueries.queries,
+      "q_conversion_latency_quantiles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("q_step_latency_compare: chained medians are nonnegative") {
+    val rows = run(Round10wQueries.queries, "q_step_latency_compare")
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.getLong(2) >= 0))
+    // click→purchase population is a subset of view→click converters
+    val byStep = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStep("2_click_to_purchase") <= byStep("1_view_to_click"))
+  }
+
   // ---- 10v: randomization inference --------------------------------------
 
   test("q_randomization_test: p-value is the exact placebo rank") {
