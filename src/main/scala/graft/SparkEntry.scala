@@ -154,7 +154,8 @@ object SparkEntry {
     (Round10tQueries.queries, Round10tQueries.oracle),
     (Round10uQueries.queries, Round10uQueries.oracle),
     (Round10vQueries.queries, Round10vQueries.oracle),
-    (Round10wQueries.queries, Round10wQueries.oracle))
+    (Round10wQueries.queries, Round10wQueries.oracle),
+    (Round11aQueries.queries, Round11aQueries.oracle))
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]
@@ -176,7 +177,7 @@ object SparkEntry {
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
-    def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] = {
     val b = Map.newBuilder[String, String]
     groups.foreach(g => b ++= g._2)
     b.result()

@@ -283,8 +283,10 @@ case class MinhashSignature(child: Expression, numHashes: Int = 8)
   *  - either side empty -> 0.0 (INCLUDING both empty — not 1.0);
   *  - match window = max(len)/2 − 1 (floored, min 0), first-unmatched
   *    scan ascending;
-  *  - m = 0 -> 0.0; transpositions t = (mismatched aligned matches)/2.0
-  *    (float half-transpositions, not integer division);
+  *  - m = 0 -> 0.0; transpositions t = (mismatched aligned matches)/2
+  *    with FLOORED integer division (rapidfuzz semantics — an odd
+  *    mismatch count rounds down, e.g. jw("ab##bdb2","#ab") =
+  *    0.6805555555555555, not the float-half 0.625);
   *  - jaro = (m/l1 + m/l2 + (m − t)/m) / 3 evaluated left-to-right;
   *  - Winkler boost ONLY when jaro > 0.7: jaro + p·0.1·(1 − jaro) with
   *    common prefix p ≤ 4, products left-to-right.
@@ -338,7 +340,7 @@ object JaroWinklerFn {
       i += 1
     }
     val md = m.toDouble
-    val t = tFull / 2.0
+    val t = (tFull / 2).toDouble
     val jaro = (md / l1 + md / l2 + (md - t) / md) / 3.0
     if (jaro > 0.7) {
       val maxP = math.min(4, math.min(l1, l2))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DateType, DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Optimizer rule: keyless BAND joins get the bucket-equi-join
   * decomposition automatically.
@@ -54,6 +54,22 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, S
   *    it with the band as residual — and the guard doubles as the
   *    idempotence check, because the rewritten join HAS an equi-key),
   *  - every other conjunct is kept in the residual untouched.
+  *
+  * TEMPORAL bands (r10 verdict #1): the shape users actually write —
+  * `abs(a.ts - b.ts) <= INTERVAL '60' SECOND`, or
+  * `a.ts.between(b.ts - INTERVAL ..., b.ts + INTERVAL ...)` on raw
+  * TimestampType/DateType columns — analyzes to SubtractTimestamps /
+  * SubtractDates / TimestampAddInterval / DateAdd nodes compared
+  * against DayTimeIntervalType literals (stored as Long MICROS). A
+  * detection-only pre-pass maps each comparison conjunct into the
+  * epoch-micros integral domain (UnixMicros for timestamps, UnixDate ×
+  * 86 400 000 000 for dates — exact within Spark's supported
+  * [0001, 9999] date range) and the existing integral machinery then
+  * recognizes the band and builds the bucket keys from the normalized
+  * Long expressions. The RESIDUAL stays the ORIGINAL temporal
+  * predicate, so the rewrite cannot change semantics even where the
+  * normalization is conservative; year-month intervals (variable
+  * length) and TimestampNTZ are deliberately not matched.
   */
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -129,6 +145,66 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
+  private val MicrosPerDay = 86400000000L
+
+  /** A Timestamp/Date-typed expression, rewritten to epoch micros. */
+  private def toMicros(e: Expression): Option[Expression] = e.dataType match {
+    case TimestampType => Some(UnixMicros(e))
+    case DateType => Some(Multiply(Cast(UnixDate(e), LongType),
+      Literal(MicrosPerDay, LongType), EvalMode.LEGACY))
+    case _ => None
+  }
+
+  /** One operand of a temporal comparison, mapped into the epoch-micros
+    * integral domain the band machinery understands. Only shapes whose
+    * micros value is EXACT are matched (day-time interval literals are
+    * Long micros by representation; date ± int days is whole days).
+    */
+  private def microsOperand(e: Expression): Option[Expression] = e match {
+    case Abs(inner, fail) => microsOperand(inner).map(Abs(_, fail))
+    case Literal(v: Long, _: DayTimeIntervalType) => Some(Literal(v, LongType))
+    case st: SubtractTimestamps =>
+      for (a <- toMicros(st.left); b <- toMicros(st.right))
+        yield Subtract(a, b, EvalMode.LEGACY)
+    case sd: SubtractDates =>
+      for (a <- toMicros(sd.left); b <- toMicros(sd.right))
+        yield Subtract(a, b, EvalMode.LEGACY)
+    case ta: TimestampAddInterval => ta.interval match {
+      case Literal(v: Long, _: DayTimeIntervalType) =>
+        toMicros(ta.start).map(m =>
+          Add(m, Literal(v, LongType), EvalMode.LEGACY))
+      case _ => None
+    }
+    case da: DateAdd => da.days match {
+      case Literal(n, t) if Seq(ByteType, ShortType, IntegerType).contains(t) =>
+        toMicros(da.startDate).map(m =>
+          Add(m, Literal(litLong(n) * MicrosPerDay, LongType), EvalMode.LEGACY))
+      case _ => None
+    }
+    case ds: DateSub => ds.days match {
+      case Literal(n, t) if Seq(ByteType, ShortType, IntegerType).contains(t) =>
+        toMicros(ds.startDate).map(m =>
+          Add(m, Literal(-litLong(n) * MicrosPerDay, LongType), EvalMode.LEGACY))
+      case _ => None
+    }
+    case other => toMicros(other)
+  }
+
+  /** Detection-only rewrite of a temporal band conjunct into the
+    * integral domain (both operands must normalize, else untouched).
+    * The original conjunct is what ends up in the residual, so a
+    * normalization that fails to fire only costs the optimization,
+    * never correctness.
+    */
+  private def normalizeTemporal(e: Expression): Expression = e match {
+    case cmp: BinaryComparison =>
+      (microsOperand(cmp.left), microsOperand(cmp.right)) match {
+        case (Some(l), Some(r)) => cmp.withNewChildren(Seq(l, r))
+        case _ => e
+      }
+    case _ => e
+  }
+
   /** Equi-conjunct between the two sides — present means Spark already
     * has a hash-join key (and means WE already rewrote this join).
     */
@@ -184,7 +260,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
-      val conjuncts = splitConjunctivePredicates(cond)
+      val conjuncts = splitConjunctivePredicates(cond).map(normalizeTemporal)
       if (conjuncts.exists(isCrossEqui(_, left, right))) j
       else findBand(conjuncts) match {
         case None => j

@@ -122,6 +122,66 @@ class BandJoinRewriteSpec extends AnyFunSuite with SparkSuite {
     assert(j.count() >= aTs.size)
   }
 
+  // ---- temporal bands (r10 verdict #1): raw TimestampType/DateType ----
+
+  private def tsDf(name: String, vs: Seq[Long]): DataFrame =
+    longDf(name, vs).withColumn(s"${name}_t",
+      expr(s"timestamp_micros(${name}_ts * 1000000)"))
+      .drop(s"${name}_ts")
+
+  test("raw TimestampType |a.t - b.t| <= INTERVAL decomposes") {
+    val j = tsDf("a", aTs).join(tsDf("b", bTs),
+      abs(col("a_t") - col("b_t")) <= expr("INTERVAL '100' SECOND"))
+    assert(!hasNestedLoop(j), "timestamp band join was not decomposed:\n" +
+      j.queryExecution.executedPlan.toString)
+    assert(j.count() == bruteCount(100L, strict = false))
+  }
+
+  test("raw TimestampType between(t - INTERVAL, t + INTERVAL) decomposes") {
+    val j = tsDf("a", aTs).join(tsDf("b", bTs),
+      col("a_t").between(col("b_t") - expr("INTERVAL '40' SECOND"),
+        col("b_t") + expr("INTERVAL '100' SECOND")))
+    assert(!hasNestedLoop(j), "timestamp between band was not decomposed:\n" +
+      j.queryExecution.executedPlan.toString)
+    val expected = aTs.flatMap(a => bTs.filter(b =>
+      a >= b - 40L && a <= b + 100L)).size.toLong
+    assert(j.count() == expected)
+  }
+
+  private def dateDf(name: String, vs: Seq[Long]): DataFrame =
+    longDf(name, vs).withColumn(s"${name}_d",
+      expr(s"date_add(date'2020-06-01', cast(${name}_ts / 10 as int))"))
+      .drop(s"${name}_ts")
+
+  test("raw DateType |a.d - b.d| <= INTERVAL '10' DAY decomposes") {
+    val j = dateDf("a", aTs).join(dateDf("b", bTs),
+      abs(col("a_d") - col("b_d")) <= expr("INTERVAL '10' DAY"))
+    assert(!hasNestedLoop(j), "date band join was not decomposed:\n" +
+      j.queryExecution.executedPlan.toString)
+    val expected = aTs.flatMap(a => bTs.map(b =>
+      math.abs(a / 10 - b / 10))).count(_ <= 10L).toLong
+    assert(j.count() == expected)
+  }
+
+  test("DateType between(date_sub, date_add) bound pair decomposes") {
+    val j = dateDf("a", aTs).join(dateDf("b", bTs),
+      col("a_d").between(date_sub(col("b_d"), 4), date_add(col("b_d"), 10)))
+    assert(!hasNestedLoop(j))
+    val expected = aTs.flatMap(a => bTs.filter(b =>
+      a / 10 >= b / 10 - 4L && a / 10 <= b / 10 + 10L)).size.toLong
+    assert(j.count() == expected)
+  }
+
+  test("year-month interval bands are NOT rewritten (variable length)") {
+    val j = tsDf("a", aTs).join(tsDf("b", bTs),
+      col("a_t").between(col("b_t") - expr("INTERVAL '1' MONTH"),
+        col("b_t") + expr("INTERVAL '1' MONTH")))
+    val gen = j.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gen.isEmpty, "rule fired on a year-month interval band")
+  }
+
   test("non-integral bands are not rewritten") {
     val a = longDf("a", aTs).withColumn("x", col("a_ts").cast("double"))
     val b = longDf("b", bTs).withColumn("y", col("b_ts").cast("double"))

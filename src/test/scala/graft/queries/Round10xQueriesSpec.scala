@@ -422,7 +422,15 @@ class Round10xQueriesSpec extends AnyFunSuite with SparkSuite {
       ("Customer#000000001", "Customer#000000010", 0.98888888888888893),
       ("abcde", "abdce", 0.94666666666666655),
       ("xyz", "zyx", 0.55555555555555547),
-      ("aa", "aaaa", 0.8666666666666667))
+      ("aa", "aaaa", 0.8666666666666667),
+      // odd mismatched-aligned-match counts: pin the FLOORED integer
+      // halving of transpositions (tFull/2, rapidfuzz semantics) —
+      // float halving would yield e.g. 0.625 on the first pair
+      ("ab##bdb2", "#ab", 0.68055555555555547),
+      ("abcdef", "badcfe", 0.83333333333333337),
+      ("information", "informant", 0.94141414141414137),
+      ("abcd", "acbd", 0.92499999999999993),
+      ("jellyfish", "smellyfish", 0.89629629629629637))
     battery.foreach { case (a, b, expected) =>
       assert(jw(u(a), u(b)) == expected, s"jw($a, $b)")
       assert(jw(u(b), u(a)) == jw(u(a), u(b)), s"symmetry jw($a, $b)")
