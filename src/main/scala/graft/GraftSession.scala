@@ -50,7 +50,11 @@ object GraftSession {
       // all arrive the way a deployment would get them:
       // spark.sql.extensions=graft.GraftExtensions
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // reconfiguration-determinism sweeps (r10 verdict #2) re-run the
+      // full oracle suite at a deliberately different partition count;
+      // default stays = cpus
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", aqeDefault))
       .config("spark.sql.adaptive.coalescePartitions.enabled",

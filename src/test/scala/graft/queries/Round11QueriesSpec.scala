@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** Semantic invariants for the round-11 batches at sf0.001 — exact
+  * values ride the DuckDB oracle gate at sf0.01/sf0.001; these pin the
+  * properties a hash compare can't express.
+  */
+class Round11QueriesSpec extends AnyFunSuite with SparkSuite {
+
+  private def run(m: Map[String, (org.apache.spark.sql.SparkSession,
+    String) => org.apache.spark.sql.DataFrame], name: String) =
+    m(name)(spark, sf0001)
+
+  // ---- 11a: temporal band joins --------------------------------------
+
+  test("q_ts_band_join_auto equals q_range_join_auto (raw-timestamp vs " +
+    "pre-converted micros formulation)") {
+    val a = run(Round11aQueries.queries, "q_ts_band_join_auto").collect()
+    val b = run(Round10aQueries.queries, "q_range_join_auto").collect()
+    assert(a.length == 1 && b.length == 1)
+    assert(a.head == b.head)
+  }
+
+  test("q_ts_between_join_auto equals q_between_join_auto") {
+    val a = run(Round11aQueries.queries, "q_ts_between_join_auto").collect()
+    val b = run(Round10aQueries.queries, "q_between_join_auto").collect()
+    assert(a.length == 1 && b.length == 1)
+    assert(a.head == b.head)
+  }
+
+  test("temporal band-join keys plan without a nested-loop join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    for (k <- Seq("q_ts_band_join_auto", "q_ts_between_join_auto",
+      "q_date_band_join_auto", "q_date_between_join_auto")) {
+      val df = run(Round11aQueries.queries, k)
+      val bad = graft.plans.PlanSignature.nodes(df.queryExecution.executedPlan)
+        .exists {
+          case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+          case _ => false
+        }
+      assert(!bad, s"$k planned a nested-loop join")
+    }
+  }
+
+  // ---- 11b: windowFunnel strict modes --------------------------------
+
+  /** Per-user level dominance: a chain valid under strict_order is
+    * consecutive events, hence free of repeated-condition interventions
+    * (valid under strict_deduplication), hence a valid default chain —
+    * so the survivor counts at every level k must be ordered
+    * strict_order <= strict_dedup <= default.
+    */
+  test("funnel strict-mode dominance: strict_order <= strict_dedup <= default") {
+    def cum(m: Map[String, (org.apache.spark.sql.SparkSession,
+      String) => org.apache.spark.sql.DataFrame], name: String): Map[Int, Long] = {
+      val h = run(m, name).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (0 to 3).map(k => k -> (k to 3).map(j => h.getOrElse(j, 0L)).sum).toMap
+    }
+    val so = cum(Round11bQueries.queries, "q_funnel_strict_order")
+    val sd = cum(Round11bQueries.queries, "q_funnel_strict_dedup")
+    val df = cum(Round9aQueries.queries, "q_window_funnel")
+    for (k <- 1 to 3) {
+      assert(so(k) <= sd(k), s"strict_order > strict_dedup at level $k")
+      assert(sd(k) <= df(k), s"strict_dedup > default at level $k")
+    }
+    // identical total user population across all three histograms
+    assert(so(0) == sd(0) && sd(0) == df(0))
+  }
+
+  test("q_sequence_match_timed: matches bounded by the untimed pair count") {
+    val r = run(Round11bQueries.queries, "q_sequence_match_timed")
+      .collect().head
+    val nUsers = r.getLong(0)
+    val matched = r.getLong(1)
+    val total = r.getLong(2)
+    val maxPer = r.getLong(3)
+    val both = r.getLong(4)
+    assert(matched <= both, "a timed match needs at least one v and one c")
+    assert(matched <= total)
+    assert(maxPer <= total)
+    assert(both <= nUsers)
+  }
+
+  test("q_group_array_moving: mov_sum7 telescopes over the 7-row frame") {
+    val rows = run(Round11bQueries.queries, "q_group_array_moving")
+      .collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val daily = rs.map(_.getDouble(2))
+      val mov = rs.map(_.getDouble(3))
+      for (i <- rs.indices) {
+        val lo = math.max(0, i - 6)
+        val expect = (lo to i).map(daily).sum
+        assert(math.abs(mov(i) - expect) < 1e-6,
+          s"mov_sum7 mismatch at row $i")
+        val avg = rs(i).getDouble(4)
+        assert(avg == mov(i) / (i - lo + 1).toDouble)
+      }
+    }
+  }
+}
