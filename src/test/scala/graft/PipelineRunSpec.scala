@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The end-to-end pipeline's ledger must RECONCILE — every document is
+  * accounted for at every stage, stage k+1 consumes exactly stage k's
+  * survivors, and the packing manifest covers exactly the final token
+  * stream (r10 verdict #5).
+  */
+class PipelineRunSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val outDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_pipeline_spec")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private lazy val stages = PipelineRun.run(spark, sf0001, outDir)
+
+  test("every stage accounts for every document and token") {
+    assert(stages.map(_.stage) == Seq("ingest", "bench_split",
+      "quality_gate", "dedup_exact", "dedup_fuzzy", "decontam",
+      "token_budget", "pack"))
+    stages.foreach { s =>
+      assert(s.docsKept + s.docsDropped == s.docsIn, s.stage)
+      assert(s.tokensKept + s.tokensDropped == s.tokensIn, s.stage)
+      assert(s.docsKept >= 0 && s.docsDropped >= 0, s.stage)
+    }
+  }
+
+  test("stage k+1 consumes exactly stage k's survivors") {
+    stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.docsIn == a.docsKept, s"${a.stage} -> ${b.stage}")
+      assert(b.tokensIn == a.tokensKept, s"${a.stage} -> ${b.stage}")
+    }
+  }
+
+  test("the token budget stage respects the 60% waterfill budget") {
+    val tb = stages.find(_.stage == "token_budget").get
+    assert(tb.tokensKept <= (0.6 * tb.tokensIn).toLong,
+      s"kept ${tb.tokensKept} over budget of 60% x ${tb.tokensIn}")
+    // greedy truncation should still land reasonably close (>= 40%)
+    assert(tb.tokensKept >= (0.4 * tb.tokensIn).toLong)
+  }
+
+  test("manifest covers exactly the packed survivors, shard-contiguous") {
+    val pack = stages.last
+    val manifest = spark.read.parquet(s"$outDir/manifest.parquet")
+    assert(manifest.count() == pack.docsKept)
+    val tokSum = manifest.agg(sum("tok")).head().getLong(0)
+    assert(tokSum == pack.tokensKept)
+    // per shard the final pack id must equal (shard tokens - 1) div 512:
+    // the concat-then-chunk stream has no holes
+    val perShard = manifest.groupBy("shard")
+      .agg(sum("tok").as("t"), max("pack_last").as("last"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getLong(2) == (r.getLong(1) - 1) / 512,
+        s"shard ${r.get(0)} pack ids not contiguous")
+    }
+    // window sanity on every doc
+    val bad = manifest.filter(col("pack_first") > col("pack_last") ||
+      col("pack_first") < 0).count()
+    assert(bad == 0)
+  }
+
+  test("the ledger artifact matches the returned stage rows") {
+    val ledger = spark.read.parquet(s"$outDir/ledger.parquet")
+      .orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = stages.map(s => (s.stage, s.docsIn, s.docsKept))
+      .sortBy(_._1)
+    assert(ledger.toSeq == expect)
+  }
+}
