@@ -156,7 +156,8 @@ object SparkEntry {
     (Round10vQueries.queries, Round10vQueries.oracle),
     (Round10wQueries.queries, Round10wQueries.oracle),
     (Round11aQueries.queries, Round11aQueries.oracle),
-    (Round11bQueries.queries, Round11bQueries.oracle))
+    (Round11bQueries.queries, Round11bQueries.oracle),
+    (Round11cQueries.queries, Round11cQueries.oracle))
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]

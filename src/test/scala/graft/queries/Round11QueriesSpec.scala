@@ -86,6 +86,54 @@ class Round11QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(both <= nUsers)
   }
 
+  // ---- 11c: combinator analogs ---------------------------------------
+
+  test("q_cramers_v: association measures live in [0, 1] and chi2 >= 0") {
+    val r = run(Round11cQueries.queries, "q_cramers_v").collect().head
+    assert(r.getDouble(1) >= 0.0) // chi2
+    val v = r.getDouble(2)
+    assert(v >= 0.0 && v <= 1.0, s"cramers_v $v")
+    for (i <- 3 to 4) {
+      val u = r.getDouble(i)
+      assert(u >= -1e-9 && u <= 1.0 + 1e-9, s"theils_u($i) $u")
+    }
+  }
+
+  test("q_group_bitmap_ops: AND <= XOR-parity <= OR, memberships bound") {
+    val r = run(Round11cQueries.queries, "q_group_bitmap_ops")
+      .collect().head
+    val or = r.getLong(0); val and = r.getLong(1); val xor = r.getLong(2)
+    assert(and <= or && xor <= or)
+    assert(r.getLong(3) <= 7) // max distinct weekdays
+    assert(r.getLong(4) <= or * 7) // sum of memberships
+  }
+
+  test("q_sequence_timed_sweep: match counts grow with the window") {
+    val rows = run(Round11cQueries.queries, "q_sequence_timed_sweep")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(60L, 600L, 3600L))
+    val users = rows.map(_.getLong(1))
+    val matches = rows.map(_.getLong(2))
+    assert(users.sliding(2).forall(p => p(0) <= p(1)))
+    assert(matches.sliding(2).forall(p => p(0) <= p(1)))
+    // the 3600 s row must agree with q_sequence_match_timed
+    val timed = run(Round11bQueries.queries, "q_sequence_match_timed")
+      .collect().head
+    assert(rows.last.getLong(1) == timed.getLong(1))
+    assert(rows.last.getLong(2) == timed.getLong(2))
+  }
+
+  test("q_min_max_map: vmin <= vmax on every entry, cardinality consistent") {
+    val rows = run(Round11cQueries.queries, "q_min_max_map").collect()
+    rows.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+      .foreach(r => assert(r.getDouble(2) <= r.getDouble(3)))
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(5)).distinct.length == 1)
+      assert(rs.head.getLong(5) == rs.length)
+    }
+  }
+
   test("q_group_array_moving: mov_sum7 telescopes over the 7-row frame") {
     val rows = run(Round11bQueries.queries, "q_group_array_moving")
       .collect()
