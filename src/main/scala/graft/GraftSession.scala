@@ -59,6 +59,12 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_AQE", aqeDefault))
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "false"))
+      // a broadcast of a 1-row aggregate WAITS on its child computation;
+      // at the 100x scale-stress factor that child can legitimately run
+      // past the 300 s default (observed: q_ktruss_support's support
+      // total at 100x), killing the job on a timeout that a cluster
+      // operator would simply raise. The payload is still 1 row.
+      .config("spark.sql.broadcastTimeout", "1800")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
