@@ -157,7 +157,8 @@ object SparkEntry {
     (Round10wQueries.queries, Round10wQueries.oracle),
     (Round11aQueries.queries, Round11aQueries.oracle),
     (Round11bQueries.queries, Round11bQueries.oracle),
-    (Round11cQueries.queries, Round11cQueries.oracle))
+    (Round11cQueries.queries, Round11cQueries.oracle),
+    (Round11dQueries.queries, Round11dQueries.oracle))
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]

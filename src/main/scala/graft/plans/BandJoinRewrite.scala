@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, ByteType, DateType, DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DateType, DayTimeIntervalType, DecimalType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Optimizer rule: keyless BAND joins get the bucket-equi-join
   * decomposition automatically.
@@ -70,6 +70,17 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DateType, DayTimeInterva
   * predicate, so the rewrite cannot change semantics even where the
   * normalization is conservative; year-month intervals (variable
   * length) and TimestampNTZ are deliberately not matched.
+  *
+  * DECIMAL bands (`abs(a.price - b.price) <= 5.00` with a decimal
+  * literal — the duplicate-payment / price-band join): a DecimalType is
+  * a scaled integer, so operands map to UnscaledValue × 10^(S−s) at the
+  * comparison's common scale S — exact integer arithmetic, gated to
+  * Long-backed decimals (precision + rescale digits ≤ 18). The +/−
+  * nodes are decomposed rather than wrapped whole, so the band patterns
+  * still see `Subtract(x, y)` / `Add(b, Literal)`; decimal literals
+  * fold to unscaled-Long literals inside the rule (the normalized tree
+  * is transient — ConstantFolding never sees it). Same residual
+  * guarantee as the temporal family.
   */
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -190,17 +201,98 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case other => toMicros(other)
   }
 
-  /** Detection-only rewrite of a temporal band conjunct into the
-    * integral domain (both operands must normalize, else untouched).
-    * The original conjunct is what ends up in the residual, so a
-    * normalization that fails to fire only costs the optimization,
+  /** DECIMAL bands (`abs(a.price - b.price) <= 5.00`, price-band /
+    * duplicate-payment joins): a DecimalType is a scaled integer, so an
+    * operand of scale s maps to UnscaledValue(e) × 10^(S−s) at the
+    * comparison's common scale S — exact integer arithmetic, gated so
+    * the scaled unscaled value stays within 18 digits (Long-backed
+    * Decimal; wider decimals bail out). Returns (expr, scale); the
+    * caller rescales both sides to the common S.
+    */
+  private def decimalOperand(e: Expression): Option[(Expression, Int)] =
+    e match {
+      case Abs(inner, fail) =>
+        decimalOperand(inner).map { case (x, s) => (Abs(x, fail), s) }
+      // DecimalPrecision wraps comparison/arithmetic operands in
+      // WIDENING casts; a widening that preserves both scale capacity
+      // and integral digits is value-identity, so unwrap and keep the
+      // inner's exact (value, scale)
+      case c: Cast if isDec(c.child) && isDec(c) =>
+        val (di, dc) = (c.child.dataType.asInstanceOf[DecimalType],
+          c.dataType.asInstanceOf[DecimalType])
+        if (dc.scale >= di.scale &&
+          dc.precision - dc.scale >= di.precision - di.scale)
+          decimalOperand(c.child)
+        else None
+      // decompose +/- so the band patterns still SEE Subtract(x, y) and
+      // Add(b, Literal) shapes after normalization (a bare
+      // UnscaledValue over the whole subtree would hide them)
+      case Subtract(a, b, _) if isDec(a) && isDec(b) =>
+        combine(a, b)((l, r) => Subtract(l, r, EvalMode.LEGACY))
+      case Add(a, b, _) if isDec(a) && isDec(b) =>
+        combine(a, b)((l, r) => Add(l, r, EvalMode.LEGACY))
+      // literals fold to unscaled-Long literals HERE: the normalized
+      // tree is transient inside this rule, so ConstantFolding never
+      // gets a chance to do it and the Literal-requiring patterns
+      // would otherwise miss
+      case Literal(v: org.apache.spark.sql.types.Decimal, d: DecimalType)
+          if d.precision <= 18 =>
+        Some((Literal(v.toUnscaledLong, LongType), d.scale))
+      case _ => e.dataType match {
+        case d: DecimalType if d.precision <= 18 =>
+          Some((UnscaledValue(e), d.scale))
+        case _ => None
+      }
+    }
+
+  private def isDec(e: Expression): Boolean =
+    e.dataType.isInstanceOf[DecimalType]
+
+  private def combine(a: Expression, b: Expression)(
+      f: (Expression, Expression) => Expression): Option[(Expression, Int)] =
+    for {
+      (ua, sa) <- decimalOperand(a)
+      (ub, sb) <- decimalOperand(b)
+      s = math.max(sa, sb)
+      la <- rescale(ua, sa, s, maxPrecision(a))
+      lb <- rescale(ub, sb, s, maxPrecision(b))
+    } yield (f(la, lb), s)
+
+  private def rescale(x: Expression, from: Int, to: Int,
+                      precision: Int): Option[Expression] =
+    if (from == to) Some(x)
+    else if (to < from || precision + (to - from) > 18) None
+    else {
+      val pow = math.pow(10, (to - from).toDouble).toLong
+      x match {
+        case Literal(l: Long, LongType) => Some(Literal(l * pow, LongType))
+        case _ =>
+          Some(Multiply(x, Literal(pow, LongType), EvalMode.LEGACY))
+      }
+    }
+
+  private def maxPrecision(e: Expression): Int = e.dataType match {
+    case d: DecimalType => d.precision
+    case _ => 18
+  }
+
+  /** Detection-only rewrite of a temporal or decimal band conjunct into
+    * the integral domain (both operands must normalize, else
+    * untouched). The original conjunct is what ends up in the residual,
+    * so a normalization that fails to fire only costs the optimization,
     * never correctness.
     */
   private def normalizeTemporal(e: Expression): Expression = e match {
     case cmp: BinaryComparison =>
       (microsOperand(cmp.left), microsOperand(cmp.right)) match {
         case (Some(l), Some(r)) => cmp.withNewChildren(Seq(l, r))
-        case _ => e
+        case _ =>
+          (isDec(cmp.left) || isDec(cmp.right),
+            combine(cmp.left, cmp.right)((l, r) =>
+              cmp.withNewChildren(Seq(l, r)))) match {
+            case (true, Some((normalized, _))) => normalized
+            case _ => e
+          }
       }
     case _ => e
   }

@@ -182,6 +182,47 @@ class BandJoinRewriteSpec extends AnyFunSuite with SparkSuite {
     assert(gen.isEmpty, "rule fired on a year-month interval band")
   }
 
+  // ---- decimal bands: price-band / duplicate-payment shapes ----------
+
+  private def decDf(name: String, vs: Seq[Long]): DataFrame =
+    longDf(name, vs).withColumn(s"${name}_p",
+      expr(s"cast(${name}_ts as decimal(12,2)) / 100"))
+      .drop(s"${name}_ts")
+
+  test("decimal |a.p - b.p| <= 0.50 band decomposes to unscaled buckets") {
+    val j = decDf("a", aTs).join(decDf("b", bTs),
+      abs(col("a_p") - col("b_p")) <= expr("CAST(0.50 AS DECIMAL(3,2))"))
+    assert(!hasNestedLoop(j), "decimal band join was not decomposed:\n" +
+      j.queryExecution.executedPlan.toString)
+    // values are ts/100 at scale 2, so the band is |a - b| <= 50 ticks
+    val expected = aTs.flatMap(a => bTs.map(b => math.abs(a - b)))
+      .count(_ <= 50L).toLong
+    assert(j.count() == expected)
+  }
+
+  test("decimal between(p - 0.20, p + 0.90) bound pair decomposes") {
+    val j = decDf("a", aTs).join(decDf("b", bTs),
+      col("a_p").between(col("b_p") - expr("CAST(0.20 AS DECIMAL(3,2))"),
+        col("b_p") + expr("CAST(0.90 AS DECIMAL(3,2))")))
+    assert(!hasNestedLoop(j))
+    val expected = aTs.flatMap(a => bTs.filter(b =>
+      a >= b - 20L && a <= b + 90L)).size.toLong
+    assert(j.count() == expected)
+  }
+
+  test("wide decimals (precision > 18) are NOT rewritten") {
+    val a = longDf("a", aTs).withColumn("x",
+      expr("cast(a_ts as decimal(38,10))"))
+    val b = longDf("b", bTs).withColumn("y",
+      expr("cast(b_ts as decimal(38,10))"))
+    val j = a.join(b, abs(col("x") - col("y")) <=
+      expr("CAST(100 AS DECIMAL(38,10))"))
+    val gen = j.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gen.isEmpty, "rule fired on a non-Long-backed decimal band")
+  }
+
   test("non-integral bands are not rewritten") {
     val a = longDf("a", aTs).withColumn("x", col("a_ts").cast("double"))
     val b = longDf("b", bTs).withColumn("y", col("b_ts").cast("double"))

@@ -32,11 +32,13 @@ class Round11QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(a.head == b.head)
   }
 
-  test("temporal band-join keys plan without a nested-loop join") {
+  test("temporal and decimal band-join keys plan without a nested-loop join") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val all = Round11aQueries.queries ++ Round11dQueries.queries
     for (k <- Seq("q_ts_band_join_auto", "q_ts_between_join_auto",
-      "q_date_band_join_auto", "q_date_between_join_auto")) {
-      val df = run(Round11aQueries.queries, k)
+      "q_date_band_join_auto", "q_date_between_join_auto",
+      "q_price_band_join_auto", "q_price_between_join_auto")) {
+      val df = run(all, k)
       val bad = graft.plans.PlanSignature.nodes(df.queryExecution.executedPlan)
         .exists {
           case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
