@@ -158,7 +158,8 @@ object SparkEntry {
     (Round11aQueries.queries, Round11aQueries.oracle),
     (Round11bQueries.queries, Round11bQueries.oracle),
     (Round11cQueries.queries, Round11cQueries.oracle),
-    (Round11dQueries.queries, Round11dQueries.oracle))
+    (Round11dQueries.queries, Round11dQueries.oracle),
+    (Round11eQueries.queries, Round11eQueries.oracle))
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]

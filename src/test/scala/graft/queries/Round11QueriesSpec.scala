@@ -136,6 +136,45 @@ class Round11QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 11e: statistical tests / series downsampling ------------------
+
+  test("q_welch_ttest: df bounds and sign agreement between variants") {
+    val r = run(Round11eQueries.queries, "q_welch_ttest").collect().head
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    assert(n1 > 1 && n2 > 1)
+    val tw = r.getDouble(3); val dfw = r.getDouble(4)
+    val ts = r.getDouble(5); val dfs = r.getLong(6)
+    // Welch-Satterthwaite df lies in [min(n)-1, n1+n2-2]
+    assert(dfw >= math.min(n1, n2) - 1 - 1e-9 && dfw <= dfs + 1e-9)
+    assert(math.signum(tw) == math.signum(ts))
+    assert(math.signum(tw) == math.signum(r.getDouble(2)))
+  }
+
+  test("q_lttb_downsample: 30 buckets, endpoints kept, x increasing") {
+    val rows = run(Round11eQueries.queries, "q_lttb_downsample")
+      .collect()
+    assert(rows.length == 30)
+    val xs = rows.map(_.getLong(1))
+    assert(xs.sliding(2).forall(p => p(0) < p(1)))
+    val series = graft.Tables(spark, sf0001, "events")
+      .filter(col("ts").isNotNull)
+      .select(expr("unix_date(to_date(ts))").cast("long").as("x"))
+      .agg(min("x"), max("x")).collect().head
+    assert(xs.head == series.getLong(0), "first point not kept")
+    assert(xs.last == series.getLong(1), "last point not kept")
+  }
+
+  test("q_tukey_fences: quartile order and outlier bounds") {
+    val rows = run(Round11eQueries.queries, "q_tukey_fences").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, q1, q3) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(q1 <= q3)
+      assert(math.abs(r.getDouble(4) - (q3 - q1)) < 1e-12)
+      assert(r.getLong(5) + r.getLong(6) <= n)
+    }
+  }
+
   test("q_group_array_moving: mov_sum7 telescopes over the 7-row frame") {
     val rows = run(Round11bQueries.queries, "q_group_array_moving")
       .collect()
