@@ -57,6 +57,35 @@ object PipelineRun {
 
   private def tok(c: Column): Column = size(split(c, " ")).cast("long")
 
+  /** quality_gate's keep predicate (too_short / too_few / repetitive). */
+  private def gateKeep(df: DataFrame): DataFrame =
+    df.withColumn("n_distinct",
+        size(array_distinct(split(col("text"), " "))))
+      .filter(!(col("n_chars") < 100 || col("tok") < 15 ||
+        col("n_distinct") * 4 < col("tok")))
+      .drop("n_distinct")
+
+  /** Normalized-text content fingerprint (exact-dedup key). */
+  private def fingerprint: Column =
+    md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+
+  /** (doc_id, sh, band_idx, band_key) — the LSH band table. */
+  private def bandTable(df: DataFrame): DataFrame =
+    df.withColumn("sh", call_function("graft_shingles", col("text")))
+      .select(col("doc_id"), col("sh"),
+        posexplode(call_function("graft_minhash_bands", col("sh")))
+          .as(Seq("band_idx", "band_key")))
+
+  /** Candidate pairs → exact-Jaccard-confirmed (≥ 0.7) b_id drop list. */
+  private def confirmedBIds(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("inter", call_function("graft_array_intersect_size",
+        col("a_sh"), col("b_sh")))
+      .withColumn("jac", try_divide(col("inter"),
+        size(col("a_sh")) + size(col("b_sh")) - col("inter")))
+      .filter(col("jac") >= 0.7)
+      .select(col("b_id").as("doc_id")).distinct()
+
   /** One ledger measurement: count + token sum of a frame. */
   private def measure(df: DataFrame): (Long, Long) = {
     val r = df.agg(count(lit(1)), coalesce(sum(col("tok")), lit(0L))).head()
@@ -102,20 +131,14 @@ object PipelineRun {
     val benchDocs = raw.filter(pmod(col("doc_id"), lit(50)) === 0)
 
     // 3. quality gate (quality_gate's conditions verbatim)
-    val gated = stage("quality_gate") {
-      ingest
-        .withColumn("n_distinct", size(array_distinct(split(col("text"), " "))))
-        .filter(!(col("n_chars") < 100 || col("tok") < 15 ||
-          col("n_distinct") * 4 < col("tok")))
-    }
+    val gated = stage("quality_gate") { gateKeep(ingest) }
 
     // 4. exact dedup, keep-best: normalized fingerprint; the winner is
     // the longest text then the smallest doc_id
     val exactDeduped = stage("dedup_exact") {
-      val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
       val w = Window.partitionBy(col("fp"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)
-      gated.withColumn("fp", fp)
+      gated.withColumn("fp", fingerprint)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn", "fp")
     }
@@ -123,11 +146,7 @@ object PipelineRun {
     // 5. fuzzy dedup: band buckets -> in-bucket pairs -> exact-Jaccard
     // confirm -> drop the larger id (work ∝ Σ bucket², never n²)
     val fuzzyDeduped = stage("dedup_fuzzy") {
-      val withSh = exactDeduped
-        .withColumn("sh", call_function("graft_shingles", col("text")))
-      val bands = withSh.select(col("doc_id"), col("sh"),
-        posexplode(call_function("graft_minhash_bands", col("sh")))
-          .as(Seq("band_idx", "band_key")))
+      val bands = bandTable(exactDeduped)
       val pairs = bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
@@ -135,14 +154,7 @@ object PipelineRun {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("a.sh").as("a_sh"), col("b.sh").as("b_sh"))
         .distinct()
-      val confirmed = pairs
-        .withColumn("inter",
-          call_function("graft_array_intersect_size", col("a_sh"), col("b_sh")))
-        .withColumn("jac", try_divide(col("inter"),
-          size(col("a_sh")) + size(col("b_sh")) - col("inter")))
-        .filter(col("jac") >= 0.7)
-        .select(col("b_id").as("doc_id")).distinct()
-      exactDeduped.join(confirmed, Seq("doc_id"), "left_anti")
+      exactDeduped.join(confirmedBIds(pairs), Seq("doc_id"), "left_anti")
     }
 
     // 6. decontamination: any shared 5-gram with the held-out bench set
@@ -234,21 +246,203 @@ object PipelineRun {
     out
   }
 
+  /** The base split's post-dedup survivors (gate → exact keep-best →
+    * internal fuzzy): the state a production deployment has indexed.
+    * Takes the corpus WITH a `cut` column; exposed so the spec can
+    * recompute the index the incremental run claims to have deduped
+    * against.
+    */
+  def baseSurvivorsFor(withCut: DataFrame): DataFrame = {
+    val baseGated = gateKeep(withCut.filter(col("doc_id") <= col("cut")))
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val baseExact = baseGated.withColumn("fp", fingerprint)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "fp")
+    val bands = bandTable(baseExact)
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sh").as("a_sh"), col("b.sh").as("b_sh")).distinct()
+    baseExact.join(confirmedBIds(pairs), Seq("doc_id"), "left_anti")
+  }
+
+  /** Corpus with the base/new `cut` column (bench holdout excluded). */
+  def corpusWithCut(spark: SparkSession, sfDir: String,
+                    basePct: Double): DataFrame = {
+    val all = Tables(spark, sfDir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("tok", tok(col("text")))
+      .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val cutR = all.agg((max(col("doc_id")) * lit(basePct)).cast("long")
+      .as("cut"))
+    all.crossJoin(broadcast(cutR))
+  }
+
+  /** Normalized-text fingerprints of a frame (spec accessor). */
+  def fingerprintsOf(df: DataFrame): DataFrame =
+    df.select(fingerprint.as("fp")).distinct()
+
+  /** Incremental (day-2) ingestion — how a 100 TB pipeline actually
+    * runs: the corpus is split by doc_id rank into a BASE (first
+    * `basePct`) whose post-dedup survivors stand in for the indexes a
+    * production system has on disk (content fingerprints + LSH band
+    * table), and a NEW batch (the rest) processed against them:
+    *
+    *   ingest_new → quality_gate → dedup_exact_vs_base (a fingerprint
+    *   already in the base index drops the new doc — base wins) →
+    *   dedup_exact_internal (keep-best within the batch) →
+    *   dedup_fuzzy_vs_base (new band keys probe the base band table;
+    *   Jaccard ≥ 0.7 confirm drops the new doc) → dedup_fuzzy_internal
+    *   → decontam (same held-out grams) → pack_append (packs CONTINUE
+    *   per shard after the base manifest's last pack id).
+    *
+    * Scale posture: the base is touched exactly twice (fingerprint
+    * index, band table — both narrow), never re-scanned per stage; all
+    * vs-base work is keyed joins probing those indexes, which is the
+    * point of incremental ingestion.
+    */
+  def incremental(spark: SparkSession, sfDir: String, outDir: String,
+                  basePct: Double = 0.8): Seq[StageResult] = {
+    graft.expressions.TextExpressions.register(spark)
+    val stages = Seq.newBuilder[StageResult]
+    var prev: Option[DataFrame] = None
+    var lastM: (Long, Long) = (0L, 0L)
+    def stage(name: String)(build: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val (kept, keptTok) = measure(out)
+      stages += StageResult(name, lastM._1, kept, lastM._2, keptTok,
+        (System.nanoTime() - t0) / 1e9)
+      prev.foreach(_.unpersist())
+      prev = Some(out)
+      lastM = (kept, keptTok)
+      out
+    }
+
+    val benchDocs = Tables(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .withColumn("tok", tok(col("text")))
+    val withCut = corpusWithCut(spark, sfDir, basePct)
+
+    // the base's post-dedup survivors = what production already indexed
+    val baseSurvivors = baseSurvivorsFor(withCut)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val baseFps = baseSurvivors.select(fingerprint.as("fp")).distinct()
+    val baseBands = bandTable(baseSurvivors)
+
+    locally {
+      val t0 = System.nanoTime()
+      val m0 = measure(withCut.filter(col("doc_id") > col("cut")))
+      stages += StageResult("ingest_new", m0._1, m0._1, m0._2, m0._2,
+        (System.nanoTime() - t0) / 1e9)
+      lastM = m0
+    }
+    val gated = stage("quality_gate") {
+      gateKeep(withCut.filter(col("doc_id") > col("cut")))
+    }
+    val exactVsBase = stage("dedup_exact_vs_base") {
+      gated.withColumn("fp", fingerprint)
+        .join(baseFps, Seq("fp"), "left_anti").drop("fp")
+    }
+    val exactInternal = stage("dedup_exact_internal") {
+      val w = Window.partitionBy(col("fp"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      exactVsBase.withColumn("fp", fingerprint)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "fp")
+    }
+    val fuzzyVsBase = stage("dedup_fuzzy_vs_base") {
+      val newBands = bandTable(exactInternal)
+      val pairs = baseBands.as("a").join(newBands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sh").as("a_sh"), col("b.sh").as("b_sh")).distinct()
+      exactInternal.join(confirmedBIds(pairs), Seq("doc_id"), "left_anti")
+    }
+    val fuzzyInternal = stage("dedup_fuzzy_internal") {
+      val bands = bandTable(fuzzyVsBase)
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sh").as("a_sh"), col("b.sh").as("b_sh")).distinct()
+      fuzzyVsBase.join(confirmedBIds(pairs), Seq("doc_id"), "left_anti")
+    }
+    val decontaminated = stage("decontam") {
+      val benchGrams = broadcast(benchDocs
+        .select(explode(call_function("graft_shingles5", col("text")))
+          .as("gram")).distinct())
+      val contaminated = fuzzyInternal
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles5", col("text"))).as("gram"))
+        .join(benchGrams, "gram").select("doc_id").distinct()
+      fuzzyInternal.join(contaminated, Seq("doc_id"), "left_anti")
+    }
+
+    // pack_append: packs continue per shard after the base's last pack
+    val t0p = System.nanoTime()
+    val shard = pmod(
+      conv(substring(md5(concat(lit("pack"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long"), lit(8))
+    val wShard = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val baseLast = baseSurvivors.withColumn("shard", shard)
+      .groupBy("shard")
+      .agg(((sum(col("tok")) + 511L).cast("long")).as("base_tok"))
+      .select(col("shard"), expr("base_tok div 512").as("base_packs"))
+    val manifest = decontaminated
+      .withColumn("shard", shard)
+      .join(broadcast(baseLast), Seq("shard"), "left")
+      .withColumn("base_packs", coalesce(col("base_packs"), lit(0L)))
+      .withColumn("cum_before", coalesce(sum(col("tok")).over(wShard), lit(0L)))
+      .select(col("doc_id"), col("source"), col("lang"), col("tok"),
+        col("shard"),
+        (expr("cum_before div 512") + col("base_packs")).as("pack_first"),
+        (expr("(cum_before + tok - 1) div 512") + col("base_packs"))
+          .as("pack_last"))
+    manifest.write.mode("overwrite")
+      .parquet(s"$outDir/manifest_incremental.parquet")
+    val mm = measure(manifest)
+    stages += StageResult("pack_append", lastM._1, mm._1, lastM._2, mm._2,
+      (System.nanoTime() - t0p) / 1e9)
+    prev.foreach(_.unpersist())
+    baseSurvivors.unpersist()
+
+    val out = stages.result()
+    spark.createDataFrame(out.map(s =>
+      (s.stage, s.docsIn, s.docsKept, s.docsDropped, s.tokensIn,
+        s.tokensKept, s.secs)))
+      .toDF("stage", "docs_in", "docs_kept", "docs_dropped", "tokens_in",
+        "tokens_kept", "secs")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/ledger_incremental.parquet")
+    out
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft_pipeline"
+    val incrementalMode = args.contains("--incremental")
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = if (pos.length > 1) pos(1) else "/tmp/graft_pipeline"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(cpus = cpus, appName = "graft-pipeline",
       autoReleaseCaches = false)
     val t0 = System.nanoTime()
-    val stages = run(spark, sfDir, outDir)
+    val stages = if (incrementalMode) incremental(spark, sfDir, outDir)
+                 else run(spark, sfDir, outDir)
     val total = (System.nanoTime() - t0) / 1e9
     val stageJson = stages.map(s =>
       s"""{"stage":"${s.stage}","docs_in":${s.docsIn},"docs_kept":${s.docsKept},""" +
         s""""docs_dropped":${s.docsDropped},"tokens_in":${s.tokensIn},""" +
         s""""tokens_kept":${s.tokensKept},"secs":${f"${s.secs}%.3f"}}""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"pipeline_e2e","sf":"$sfDir","total_secs":${f"$total%.2f"},"stages":$stageJson}""")
+    val metric = if (incrementalMode) "pipeline_incremental" else "pipeline_e2e"
+    println(s"""{"metric":"$metric","sf":"$sfDir","total_secs":${f"$total%.2f"},"stages":$stageJson}""")
     spark.stop()
   }
 }

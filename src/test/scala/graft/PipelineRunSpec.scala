@@ -65,6 +65,60 @@ class PipelineRunSpec extends AnyFunSuite with SparkSuite {
     assert(bad == 0)
   }
 
+  // ---- incremental (day-2) mode ---------------------------------------
+
+  private lazy val incDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_pipeline_inc")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private lazy val incStages = PipelineRun.incremental(spark, sf0001, incDir)
+
+  test("incremental ledger reconciles and chains") {
+    assert(incStages.map(_.stage) == Seq("ingest_new", "quality_gate",
+      "dedup_exact_vs_base", "dedup_exact_internal", "dedup_fuzzy_vs_base",
+      "dedup_fuzzy_internal", "decontam", "pack_append"))
+    incStages.foreach { s =>
+      assert(s.docsKept + s.docsDropped == s.docsIn, s.stage)
+      assert(s.tokensKept + s.tokensDropped == s.tokensIn, s.stage)
+    }
+    incStages.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.docsIn == a.docsKept, s"${a.stage} -> ${b.stage}")
+    }
+  }
+
+  test("no incremental survivor's fingerprint exists in the base index") {
+    incStages // force the run
+    val manifest = spark.read
+      .parquet(s"$incDir/manifest_incremental.parquet")
+    val withCut = PipelineRun.corpusWithCut(spark, sf0001, 0.8)
+    val baseFps = PipelineRun.fingerprintsOf(
+      PipelineRun.baseSurvivorsFor(withCut))
+    val survivors = withCut.join(manifest.select("doc_id"), "doc_id")
+    val overlap = PipelineRun.fingerprintsOf(survivors)
+      .join(baseFps, "fp").count()
+    assert(overlap == 0, s"$overlap surviving fingerprints already indexed")
+  }
+
+  test("incremental packs continue per shard after the base manifest") {
+    incStages
+    val manifest = spark.read
+      .parquet(s"$incDir/manifest_incremental.parquet")
+    val perShard = manifest.groupBy("shard")
+      .agg(min("pack_first").as("first"), max("pack_last").as("last"),
+        sum("tok").as("t"))
+      .collect()
+    perShard.foreach { r =>
+      val (first, last, t) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(first >= 0)
+      // contiguous within the appended stream
+      assert(last - first == (t - 1) / 512,
+        s"shard ${r.get(0)} appended packs not contiguous")
+    }
+  }
+
   test("the ledger artifact matches the returned stage rows") {
     val ledger = spark.read.parquet(s"$outDir/ledger.parquet")
       .orderBy("stage").collect()
