@@ -186,14 +186,18 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Add(m, Literal(v, LongType), EvalMode.LEGACY))
       case _ => None
     }
+    // |days| gated so days × µs/day cannot wrap a Long (a wrapped
+    // literal would bucket wrongly = lost rows)
     case da: DateAdd => da.days match {
-      case Literal(n, t) if Seq(ByteType, ShortType, IntegerType).contains(t) =>
+      case Literal(n, t) if Seq(ByteType, ShortType, IntegerType).contains(t)
+          && math.abs(litLong(n)) <= 100000000L =>
         toMicros(da.startDate).map(m =>
           Add(m, Literal(litLong(n) * MicrosPerDay, LongType), EvalMode.LEGACY))
       case _ => None
     }
     case ds: DateSub => ds.days match {
-      case Literal(n, t) if Seq(ByteType, ShortType, IntegerType).contains(t) =>
+      case Literal(n, t) if Seq(ByteType, ShortType, IntegerType).contains(t)
+          && math.abs(litLong(n)) <= 100000000L =>
         toMicros(ds.startDate).map(m =>
           Add(m, Literal(-litLong(n) * MicrosPerDay, LongType), EvalMode.LEGACY))
       case _ => None
@@ -372,6 +376,13 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             else None
           oriented match {
             case None => j
+            // EXTREME literal bounds bail out rather than risk silent
+            // Long wrap in the width/shift arithmetic (wrong buckets =
+            // LOST rows, the one failure the residual cannot repair);
+            // 2^61 is far beyond any timestamp/decimal domain
+            case Some((_, _, lo, hi))
+                if math.abs(lo) > (1L << 61) || math.abs(hi) > (1L << 61) =>
+              j
             case Some((lx, rx, lo, hi)) =>
               // symmetric bands bucket both sides raw at width hi;
               // asymmetric bands shift the right side by lo and bucket
