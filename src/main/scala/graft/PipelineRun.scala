@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** End-to-end training-data pipeline over the documents table (r10
-  * verdict #5): the 546-key inventory proves each operator in
+  * verdict #5): the per-key inventory proves each operator in
   * isolation; this main CHAINS the canonical stages in ONE session with
   * shared scans and retained frames, the way a production run would —
   * and emits a per-stage ledger that must reconcile exactly
@@ -43,9 +43,9 @@ import org.apache.spark.storage.StorageLevel
   * a ≤ #sources waterfill frame). At 100 TB the stage frames persist to
   * MEMORY_AND_DISK and the shard count is the packing parallelism knob.
   *
-  * Usage: runMain graft.PipelineRun <sfDir> <outDir> [budgetFrac]
-  * Writes outDir/manifest.parquet, outDir/ledger.parquet, and prints one
-  * JSON line (stage ledger + wall seconds) for PIPELINE_r11.json.
+  * Usage: runMain graft.PipelineRun <sfDir> <outDir> [--incremental]
+  * Writes outDir/manifest*.parquet + outDir/ledger*.parquet and prints
+  * one JSON line (stage ledger + wall seconds) for PIPELINE_r11.json.
   */
 object PipelineRun {
 
@@ -69,12 +69,39 @@ object PipelineRun {
   private def fingerprint: Column =
     md5(lower(regexp_replace(col("text"), "\\s+", " ")))
 
+  /** Exact dedup, keep-best: the winner of each fingerprint cluster is
+    * the longest text, then the smallest doc_id (dedup_keep_best).
+    */
+  private def exactKeepBest(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    df.withColumn("fp", fingerprint)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "fp")
+  }
+
   /** (doc_id, sh, band_idx, band_key) — the LSH band table. */
   private def bandTable(df: DataFrame): DataFrame =
     df.withColumn("sh", call_function("graft_shingles", col("text")))
       .select(col("doc_id"), col("sh"),
         posexplode(call_function("graft_minhash_bands", col("sh")))
           .as(Seq("band_idx", "band_key")))
+
+  /** Bucket-cojoined candidate pairs between two band tables; when
+    * `requireIdLt` (self-join) only a_id < b_id pairs emit, so the
+    * smaller id is always the survivor.
+    */
+  private def candidatePairs(a: DataFrame, b: DataFrame,
+                             requireIdLt: Boolean): DataFrame = {
+    val bucketEq = col("a.band_idx") === col("b.band_idx") &&
+      col("a.band_key") === col("b.band_key")
+    val cond = if (requireIdLt) bucketEq && col("a.doc_id") < col("b.doc_id")
+               else bucketEq
+    a.as("a").join(b.as("b"), cond)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sh").as("a_sh"), col("b.sh").as("b_sh"))
+      .distinct()
+  }
 
   /** Candidate pairs → exact-Jaccard-confirmed (≥ 0.7) b_id drop list. */
   private def confirmedBIds(pairs: DataFrame): DataFrame =
@@ -86,25 +113,62 @@ object PipelineRun {
       .filter(col("jac") >= 0.7)
       .select(col("b_id").as("doc_id")).distinct()
 
+  /** Drop the larger-id member of every confirmed near-dup pair WITHIN
+    * one frame (the internal fuzzy-dedup stage of both modes).
+    */
+  private def fuzzyDedupInternal(df: DataFrame): DataFrame = {
+    val bands = bandTable(df)
+    df.join(confirmedBIds(candidatePairs(bands, bands, requireIdLt = true)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** 5-gram decontamination against the held-out bench docs. */
+  private def decontamAgainst(df: DataFrame, benchDocs: DataFrame): DataFrame = {
+    val benchGrams = broadcast(benchDocs
+      .select(explode(call_function("graft_shingles5", col("text")))
+        .as("gram")).distinct())
+    val contaminated = df
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles5", col("text"))).as("gram"))
+      .join(benchGrams, "gram").select("doc_id").distinct()
+    df.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  private def shardCol: Column = pmod(
+    conv(substring(md5(concat(lit("pack"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(8))
+
+  private val packWindow = Window.partitionBy("shard").orderBy("doc_id")
+    .rowsBetween(Window.unboundedPreceding, -1)
+
   /** One ledger measurement: count + token sum of a frame. */
   private def measure(df: DataFrame): (Long, Long) = {
     val r = df.agg(count(lit(1)), coalesce(sum(col("tok")), lit(0L))).head()
     (r.getLong(0), r.getLong(1))
   }
 
-  def run(spark: SparkSession, sfDir: String, outDir: String,
-          budgetFrac: Double = 0.6): Seq[StageResult] = {
-    graft.expressions.TextExpressions.register(spark)
-    val stages = Seq.newBuilder[StageResult]
-    var prev: Option[DataFrame] = None
+  /** The stage bookkeeping both modes share: persist → measure →
+    * ledger row → unpersist predecessor.
+    */
+  private final class Ledger {
+    private val rows = Seq.newBuilder[StageResult]
+    private var prev: Option[DataFrame] = None
+    private var lastM: (Long, Long) = (0L, 0L)
 
-    var lastM: (Long, Long) = (0L, 0L)
+    /** Measure an existing frame as the first (no-drop) stage. */
+    def seed(name: String, df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val m = measure(df)
+      rows += StageResult(name, m._1, m._1, m._2, m._2,
+        (System.nanoTime() - t0) / 1e9)
+      lastM = m
+    }
 
     def stage(name: String)(build: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val out = build.persist(StorageLevel.MEMORY_AND_DISK)
       val (kept, keptTok) = measure(out)
-      stages += StageResult(name, lastM._1, kept, lastM._2, keptTok,
+      rows += StageResult(name, lastM._1, kept, lastM._2, keptTok,
         (System.nanoTime() - t0) / 1e9)
       prev.foreach(_.unpersist())
       prev = Some(out)
@@ -112,68 +176,57 @@ object PipelineRun {
       out
     }
 
-    // 1. ingest — one scan, spread across the cluster for the
-    // expression-heavy stages downstream (PipelineQueries.spread's
-    // rationale)
+    /** Terminal stage with an explicit pre-measured output. */
+    def closeWith(name: String, m: (Long, Long), secs: Double): Unit = {
+      rows += StageResult(name, lastM._1, m._1, lastM._2, m._2, secs)
+      prev.foreach(_.unpersist())
+      prev = None
+    }
+
+    def result(spark: SparkSession, path: String): Seq[StageResult] = {
+      val out = rows.result()
+      spark.createDataFrame(out.map(s =>
+        (s.stage, s.docsIn, s.docsKept, s.docsDropped, s.tokensIn,
+          s.tokensKept, s.secs)))
+        .toDF("stage", "docs_in", "docs_kept", "docs_dropped", "tokens_in",
+          "tokens_kept", "secs")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      out
+    }
+  }
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          budgetFrac: Double = 0.6): Seq[StageResult] = {
+    graft.expressions.TextExpressions.register(spark)
+    val ledger = new Ledger
+
+    // 1. ingest — ONE scan, persisted (ingest measure, bench_split, and
+    // the decontam bench side all read it), spread across the cluster
+    // for the expression-heavy stages downstream
     val raw = Tables(spark, sfDir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("tok", tok(col("text")))
-    locally {
-      val t0 = System.nanoTime()
-      val m0 = measure(raw)
-      stages += StageResult("ingest", m0._1, m0._1, m0._2, m0._2,
-        (System.nanoTime() - t0) / 1e9)
-      lastM = m0
-    }
-    val ingest = stage("bench_split") {
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ledger.seed("ingest", raw)
+    val ingest = ledger.stage("bench_split") {
       raw.filter(pmod(col("doc_id"), lit(50)) =!= 0)
     }
     val benchDocs = raw.filter(pmod(col("doc_id"), lit(50)) === 0)
 
-    // 3. quality gate (quality_gate's conditions verbatim)
-    val gated = stage("quality_gate") { gateKeep(ingest) }
-
-    // 4. exact dedup, keep-best: normalized fingerprint; the winner is
-    // the longest text then the smallest doc_id
-    val exactDeduped = stage("dedup_exact") {
-      val w = Window.partitionBy(col("fp"))
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      gated.withColumn("fp", fingerprint)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn", "fp")
+    val gated = ledger.stage("quality_gate") { gateKeep(ingest) }
+    val exactDeduped = ledger.stage("dedup_exact") { exactKeepBest(gated) }
+    // work ∝ Σ bucket², never n²
+    val fuzzyDeduped = ledger.stage("dedup_fuzzy") {
+      fuzzyDedupInternal(exactDeduped)
     }
-
-    // 5. fuzzy dedup: band buckets -> in-bucket pairs -> exact-Jaccard
-    // confirm -> drop the larger id (work ∝ Σ bucket², never n²)
-    val fuzzyDeduped = stage("dedup_fuzzy") {
-      val bands = bandTable(exactDeduped)
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.sh").as("a_sh"), col("b.sh").as("b_sh"))
-        .distinct()
-      exactDeduped.join(confirmedBIds(pairs), Seq("doc_id"), "left_anti")
-    }
-
-    // 6. decontamination: any shared 5-gram with the held-out bench set
-    val decontaminated = stage("decontam") {
-      val benchGrams = broadcast(benchDocs
-        .select(explode(call_function("graft_shingles5", col("text")))
-          .as("gram")).distinct())
-      val contaminated = fuzzyDeduped
-        .select(col("doc_id"),
-          explode(call_function("graft_shingles5", col("text"))).as("gram"))
-        .join(benchGrams, "gram")
-        .select("doc_id").distinct()
-      fuzzyDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val decontaminated = ledger.stage("decontam") {
+      decontamAgainst(fuzzyDeduped, benchDocs)
     }
 
     // 7. token budget: exact integer waterfill of budgetFrac·T across
     // sources (level L with Σ min(T_s, L) = B, sources below L keep
     // everything), then per-source greedy fill by quality rank
-    val budgeted = stage("token_budget") {
+    val budgeted = ledger.stage("token_budget") {
       val perSrc = decontaminated.groupBy("source")
         .agg(sum(col("tok")).as("t_s"))
       val total = perSrc.agg(sum(col("t_s")).as("t_tot"))
@@ -215,35 +268,24 @@ object PipelineRun {
         .drop("quality", "cap", "cum")
     }
 
-    // 8. pack: concat-then-chunk at 512 tokens over 8 md5 shards
+    // 8. pack: concat-then-chunk at 512 tokens over 8 md5 shards;
+    // persisted so the write and the ledger measure share one pass
     val t0 = System.nanoTime()
-    val shard = pmod(
-      conv(substring(md5(concat(lit("pack"), col("doc_id").cast("string"))),
-        1, 8), 16, 10).cast("long"), lit(8))
-    val wShard = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
     val manifest = budgeted
-      .withColumn("shard", shard)
-      .withColumn("cum_before", coalesce(sum(col("tok")).over(wShard), lit(0L)))
+      .withColumn("shard", shardCol)
+      .withColumn("cum_before",
+        coalesce(sum(col("tok")).over(packWindow), lit(0L)))
       .select(col("doc_id"), col("source"), col("lang"), col("tok"),
         col("shard"),
         expr("cum_before div 512").as("pack_first"),
         expr("(cum_before + tok - 1) div 512").as("pack_last"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     manifest.write.mode("overwrite").parquet(s"$outDir/manifest.parquet")
-    val mm = measure(manifest)
-    stages += StageResult("pack", lastM._1, mm._1, lastM._2, mm._2,
+    ledger.closeWith("pack", measure(manifest),
       (System.nanoTime() - t0) / 1e9)
-    prev.foreach(_.unpersist())
-
-    val out = stages.result()
-    val ledger = spark.createDataFrame(out.map(s =>
-      (s.stage, s.docsIn, s.docsKept, s.docsDropped, s.tokensIn,
-        s.tokensKept, s.secs)))
-      .toDF("stage", "docs_in", "docs_kept", "docs_dropped", "tokens_in",
-        "tokens_kept", "secs")
-    ledger.coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/ledger.parquet")
-    out
+    manifest.unpersist()
+    raw.unpersist()
+    ledger.result(spark, s"$outDir/ledger.parquet")
   }
 
   /** The base split's post-dedup survivors (gate → exact keep-best →
@@ -252,22 +294,9 @@ object PipelineRun {
     * recompute the index the incremental run claims to have deduped
     * against.
     */
-  def baseSurvivorsFor(withCut: DataFrame): DataFrame = {
-    val baseGated = gateKeep(withCut.filter(col("doc_id") <= col("cut")))
-    val w = Window.partitionBy(col("fp"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    val baseExact = baseGated.withColumn("fp", fingerprint)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn", "fp")
-    val bands = bandTable(baseExact)
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sh").as("a_sh"), col("b.sh").as("b_sh")).distinct()
-    baseExact.join(confirmedBIds(pairs), Seq("doc_id"), "left_anti")
-  }
+  def baseSurvivorsFor(withCut: DataFrame): DataFrame =
+    fuzzyDedupInternal(exactKeepBest(
+      gateKeep(withCut.filter(col("doc_id") <= col("cut")))))
 
   /** Corpus with the base/new `cut` column (bench holdout excluded). */
   def corpusWithCut(spark: SparkSession, sfDir: String,
@@ -299,129 +328,78 @@ object PipelineRun {
     *   → decontam (same held-out grams) → pack_append (packs CONTINUE
     *   per shard after the base manifest's last pack id).
     *
-    * Scale posture: the base is touched exactly twice (fingerprint
-    * index, band table — both narrow), never re-scanned per stage; all
+    * Scale posture: the base contributes exactly two narrow indexes
+    * (fingerprints, band table), never a per-stage re-scan; all
     * vs-base work is keyed joins probing those indexes, which is the
     * point of incremental ingestion.
     */
   def incremental(spark: SparkSession, sfDir: String, outDir: String,
                   basePct: Double = 0.8): Seq[StageResult] = {
     graft.expressions.TextExpressions.register(spark)
-    val stages = Seq.newBuilder[StageResult]
-    var prev: Option[DataFrame] = None
-    var lastM: (Long, Long) = (0L, 0L)
-    def stage(name: String)(build: => DataFrame): DataFrame = {
-      val t0 = System.nanoTime()
-      val out = build.persist(StorageLevel.MEMORY_AND_DISK)
-      val (kept, keptTok) = measure(out)
-      stages += StageResult(name, lastM._1, kept, lastM._2, keptTok,
-        (System.nanoTime() - t0) / 1e9)
-      prev.foreach(_.unpersist())
-      prev = Some(out)
-      lastM = (kept, keptTok)
-      out
-    }
+    val ledger = new Ledger
 
     val benchDocs = Tables(spark, sfDir, "documents")
       .filter(pmod(col("doc_id"), lit(50)) === 0)
       .withColumn("tok", tok(col("text")))
+    // ONE persisted corpus frame feeds the base index and both reads
+    // of the new split (the measure and the gate)
     val withCut = corpusWithCut(spark, sfDir, basePct)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // the base's post-dedup survivors = what production already indexed
     val baseSurvivors = baseSurvivorsFor(withCut)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val baseFps = baseSurvivors.select(fingerprint.as("fp")).distinct()
+    val baseFps = fingerprintsOf(baseSurvivors)
     val baseBands = bandTable(baseSurvivors)
 
-    locally {
-      val t0 = System.nanoTime()
-      val m0 = measure(withCut.filter(col("doc_id") > col("cut")))
-      stages += StageResult("ingest_new", m0._1, m0._1, m0._2, m0._2,
-        (System.nanoTime() - t0) / 1e9)
-      lastM = m0
-    }
-    val gated = stage("quality_gate") {
-      gateKeep(withCut.filter(col("doc_id") > col("cut")))
-    }
-    val exactVsBase = stage("dedup_exact_vs_base") {
+    val newSplit = withCut.filter(col("doc_id") > col("cut"))
+    ledger.seed("ingest_new", newSplit)
+    val gated = ledger.stage("quality_gate") { gateKeep(newSplit) }
+    val exactVsBase = ledger.stage("dedup_exact_vs_base") {
       gated.withColumn("fp", fingerprint)
         .join(baseFps, Seq("fp"), "left_anti").drop("fp")
     }
-    val exactInternal = stage("dedup_exact_internal") {
-      val w = Window.partitionBy(col("fp"))
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      exactVsBase.withColumn("fp", fingerprint)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn", "fp")
+    val exactInternal = ledger.stage("dedup_exact_internal") {
+      exactKeepBest(exactVsBase)
     }
-    val fuzzyVsBase = stage("dedup_fuzzy_vs_base") {
-      val newBands = bandTable(exactInternal)
-      val pairs = baseBands.as("a").join(newBands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.sh").as("a_sh"), col("b.sh").as("b_sh")).distinct()
+    val fuzzyVsBase = ledger.stage("dedup_fuzzy_vs_base") {
+      val pairs = candidatePairs(baseBands, bandTable(exactInternal),
+        requireIdLt = false)
       exactInternal.join(confirmedBIds(pairs), Seq("doc_id"), "left_anti")
     }
-    val fuzzyInternal = stage("dedup_fuzzy_internal") {
-      val bands = bandTable(fuzzyVsBase)
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.sh").as("a_sh"), col("b.sh").as("b_sh")).distinct()
-      fuzzyVsBase.join(confirmedBIds(pairs), Seq("doc_id"), "left_anti")
+    val fuzzyInternal = ledger.stage("dedup_fuzzy_internal") {
+      fuzzyDedupInternal(fuzzyVsBase)
     }
-    val decontaminated = stage("decontam") {
-      val benchGrams = broadcast(benchDocs
-        .select(explode(call_function("graft_shingles5", col("text")))
-          .as("gram")).distinct())
-      val contaminated = fuzzyInternal
-        .select(col("doc_id"),
-          explode(call_function("graft_shingles5", col("text"))).as("gram"))
-        .join(benchGrams, "gram").select("doc_id").distinct()
-      fuzzyInternal.join(contaminated, Seq("doc_id"), "left_anti")
+    val decontaminated = ledger.stage("decontam") {
+      decontamAgainst(fuzzyInternal, benchDocs)
     }
 
     // pack_append: packs continue per shard after the base's last pack
     val t0p = System.nanoTime()
-    val shard = pmod(
-      conv(substring(md5(concat(lit("pack"), col("doc_id").cast("string"))),
-        1, 8), 16, 10).cast("long"), lit(8))
-    val wShard = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val baseLast = baseSurvivors.withColumn("shard", shard)
+    val baseLast = baseSurvivors.withColumn("shard", shardCol)
       .groupBy("shard")
       .agg(((sum(col("tok")) + 511L).cast("long")).as("base_tok"))
       .select(col("shard"), expr("base_tok div 512").as("base_packs"))
     val manifest = decontaminated
-      .withColumn("shard", shard)
+      .withColumn("shard", shardCol)
       .join(broadcast(baseLast), Seq("shard"), "left")
       .withColumn("base_packs", coalesce(col("base_packs"), lit(0L)))
-      .withColumn("cum_before", coalesce(sum(col("tok")).over(wShard), lit(0L)))
+      .withColumn("cum_before",
+        coalesce(sum(col("tok")).over(packWindow), lit(0L)))
       .select(col("doc_id"), col("source"), col("lang"), col("tok"),
         col("shard"),
         (expr("cum_before div 512") + col("base_packs")).as("pack_first"),
         (expr("(cum_before + tok - 1) div 512") + col("base_packs"))
           .as("pack_last"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     manifest.write.mode("overwrite")
       .parquet(s"$outDir/manifest_incremental.parquet")
-    val mm = measure(manifest)
-    stages += StageResult("pack_append", lastM._1, mm._1, lastM._2, mm._2,
+    ledger.closeWith("pack_append", measure(manifest),
       (System.nanoTime() - t0p) / 1e9)
-    prev.foreach(_.unpersist())
+    manifest.unpersist()
     baseSurvivors.unpersist()
-
-    val out = stages.result()
-    spark.createDataFrame(out.map(s =>
-      (s.stage, s.docsIn, s.docsKept, s.docsDropped, s.tokensIn,
-        s.tokensKept, s.secs)))
-      .toDF("stage", "docs_in", "docs_kept", "docs_dropped", "tokens_in",
-        "tokens_kept", "secs")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/ledger_incremental.parquet")
-    out
+    withCut.unpersist()
+    ledger.result(spark, s"$outDir/ledger_incremental.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -317,16 +317,23 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Floor division of an integral expression by a positive constant —
-    * correct for negative values, unlike `div`'s truncation toward zero
-    * (x - pmod(x, w) is the floor multiple; LEGACY eval mode because the
-    * arithmetic cannot overflow for w > 0 and must not throw under ANSI).
+    * correct for negative values, unlike `div`'s truncation toward
+    * zero. Computed as truncating div MINUS a negative-remainder
+    * adjustment, which is wrap-free over the ENTIRE Long domain (the
+    * earlier `(x - pmod(x, w)) div w` floor-multiple form wrapped for
+    * x within w of Long.MinValue — a lost-rows hazard the residual
+    * cannot repair; caught in the round-11 self-review). LEGACY eval
+    * mode so nothing throws under ANSI: w > 0, `x % w` and `x div w`
+    * are representable for every Long x, and the −1 adjustment only
+    * applies when tdiv > Long.MinValue.
     */
   private def floorBucket(x: Expression, w: Long): Expression = {
     val lx = if (x.dataType == LongType) x else Cast(x, LongType)
     val wl = Literal(w, LongType)
-    IntegralDivide(
-      Subtract(lx, Pmod(lx, wl, EvalMode.LEGACY), EvalMode.LEGACY),
-      wl, EvalMode.LEGACY)
+    val tdiv = IntegralDivide(lx, wl, EvalMode.LEGACY)
+    val rem = Remainder(lx, wl, EvalMode.LEGACY)
+    If(LessThan(rem, Literal(0L, LongType)),
+      Subtract(tdiv, Literal(1L, LongType), EvalMode.LEGACY), tdiv)
   }
 
   /** The detected band: lo <= x - y <= hi on integral sided columns. */
@@ -381,13 +388,21 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // LOST rows, the one failure the residual cannot repair);
             // 2^61 is far beyond any timestamp/decimal domain
             case Some((_, _, lo, hi))
-                if math.abs(lo) > (1L << 61) || math.abs(hi) > (1L << 61) =>
+                // compare, don't math.abs: abs(Long.MinValue) is
+                // negative and would slip through
+                if lo < -(1L << 61) || lo > (1L << 61) ||
+                  hi < -(1L << 61) || hi > (1L << 61) =>
               j
             case Some((lx, rx, lo, hi)) =>
               // symmetric bands bucket both sides raw at width hi;
               // asymmetric bands shift the right side by lo and bucket
               // at width hi - lo, so lx - (rx + lo) lands in [0, width]
-              // and the bucket ids differ by at most 1 either way
+              // and the bucket ids differ by at most 1 either way.
+              // (The shift add can still wrap for DATA within |lo| of
+              // the Long extremes — but there the ORIGINAL predicate's
+              // own x − y arithmetic wraps identically under LEGACY
+              // eval, i.e. the naive plan has no well-defined answer
+              // either; real temporal/decimal domains sit < 2^61.)
               val (width, rShifted) =
                 if (lo == -hi && hi > 0) (hi, rx)
                 else (math.max(hi - lo, 1L),

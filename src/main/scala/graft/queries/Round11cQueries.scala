@@ -47,7 +47,11 @@ object Round11cQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_min_max_map" -> ((s, dir) => {
+      // ts IS NOT NULL like the sibling time-keyed keys: a NULL hour
+      // group would ORDER differently across engines (Spark nulls
+      // first, DuckDB nulls last) under the positional comparator
       val hourly = t(s, dir, "events")
+        .filter(col("ts").isNotNull)
         .select(col("event_type"), hour(col("ts")).cast("long").as("h"),
           col("value").cast(dec).as("v"))
         .groupBy("event_type", "h")
@@ -182,7 +186,8 @@ object Round11cQueries {
         |    CAST(CAST(MAX(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
         |      AS DOUBLE) AS vmax,
         |    CAST(COUNT(value) AS BIGINT) AS n_vals
-        |  FROM events GROUP BY event_type, hour(ts)
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY event_type, hour(ts)
         |), card AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
         |  FROM hourly GROUP BY event_type

@@ -51,6 +51,20 @@ class BandJoinRewriteSpec extends AnyFunSuite with SparkSuite {
     assert(j.count() == bruteCount(100L, strict = false))
   }
 
+  test("bucketing is wrap-free at the Long.MinValue edge") {
+    // floor-multiple bucketing (x - pmod(x, w)) wrapped here, putting
+    // the qualifying pair in non-adjacent buckets and LOSING it
+    val lows = Seq(Long.MinValue + 7, Long.MinValue + 8, 0L, 100L)
+    val j = longDf("a", lows).join(longDf("b", lows),
+      abs(col("a_ts") - col("b_ts")) <= 10L)
+    assert(!hasNestedLoop(j))
+    val expected = lows.flatMap(a => lows.filter { b =>
+      val d = a - b // same LEGACY wrap semantics as the residual
+      math.abs(d) <= 10L
+    }).size.toLong
+    assert(j.count() == expected)
+  }
+
   test("strict |a-b| < W matches the inclusive W-1 decomposition") {
     val j = longDf("a", aTs).join(longDf("b", bTs),
       abs(col("a_ts") - col("b_ts")) < 100L)
