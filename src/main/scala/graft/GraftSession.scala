@@ -39,7 +39,10 @@ object GraftSession {
             // consuming action (CacheScope); Bench opts out because its
             // min-of-two-passes methodology reuses pass-1 blocks and
             // clears the cache itself between queries
-            autoReleaseCaches: Boolean = true): SparkSession = {
+            autoReleaseCaches: Boolean = true,
+            broadcastTimeout: String =
+              sys.env.getOrElse("SPARK_GRAFT_BROADCAST_TIMEOUT", "300")
+           ): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -63,8 +66,12 @@ object GraftSession {
       // at the 100x scale-stress factor that child can legitimately run
       // past the 300 s default (observed: q_ktruss_support's support
       // total at 100x), killing the job on a timeout that a cluster
-      // operator would simply raise. The payload is still 1 row.
-      .config("spark.sql.broadcastTimeout", "1800")
+      // operator would simply raise. The payload is still 1 row. Raised
+      // ONLY for scale-stress runs (ScaleStress passes 1800, or set
+      // SPARK_GRAFT_BROADCAST_TIMEOUT); everywhere else the stock 300 s
+      // stands so a genuinely hung broadcast child surfaces in 5 min,
+      // not 30 (r11 ADVICE).
+      .config("spark.sql.broadcastTimeout", broadcastTimeout)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

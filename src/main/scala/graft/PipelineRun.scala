@@ -29,7 +29,7 @@ import org.apache.spark.storage.StorageLevel
   *   6. decontam          — drop docs sharing any 5-gram with the
   *                          held-out bench set (decontam_ngram's
   *                          inverted-index join, bench side broadcast)
-  *   7. token_budget      — exact integer waterfill of a 60 % token
+  *   7. token_budget      — integer waterfill (kept ≤ budget) of a 60 % token
   *                          budget across sources, then per-source
   *                          greedy selection by quality rank until the
   *                          source cap (q_token_budget_fit's family)
@@ -223,9 +223,13 @@ object PipelineRun {
       decontamAgainst(fuzzyDeduped, benchDocs)
     }
 
-    // 7. token budget: exact integer waterfill of budgetFrac·T across
-    // sources (level L with Σ min(T_s, L) = B, sources below L keep
-    // everything), then per-source greedy fill by quality rank
+    // 7. token budget: integer waterfill of budgetFrac·T across sources
+    // (integer level L with Σ min(T_s, L) ≤ B — the `div` discards the
+    // level's remainder, and the per-source greedy `cum <= cap` prefix
+    // truncates at doc granularity, so kept tokens UNDERSHOOT B by up to
+    // one level remainder + one doc per source; the spec asserts the
+    // [40%, 60%] envelope, not equality), then per-source greedy fill by
+    // quality rank
     val budgeted = ledger.stage("token_budget") {
       val perSrc = decontaminated.groupBy("source")
         .agg(sum(col("tok")).as("t_s"))

@@ -128,7 +128,10 @@ object ScaleStress {
     val qs = if (args.length > 3) args(3).split(",").toSeq else DefaultQueries
     val s = GraftSession.build(
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
-      appName = "graft-scale")
+      appName = "graft-scale",
+      // scale-stress is the one surface where a 1-row broadcast
+      // legitimately waits minutes on its child (ktruss at 100x)
+      broadcastTimeout = "1800")
     val bigDir = s"$workDir/sf${factor}x"
     generate(s, srcDir, bigDir, factor)
 

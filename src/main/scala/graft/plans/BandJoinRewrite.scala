@@ -150,8 +150,21 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Some((a, b, false, -litLong(v)))
         case LessThan(a, Add(b, Literal(v, t), _)) if ok(a, b, t) =>
           Some((a, b, true, litLong(v) - 1))
+        case LessThan(a, Add(Literal(v, t), b, _)) if ok(a, b, t) =>
+          Some((a, b, true, litLong(v) - 1))
         case GreaterThan(a, Subtract(b, Literal(v, t), _)) if ok(a, b, t) =>
           Some((a, b, false, -litLong(v) + 1))
+        // the two strict shapes the r11 table missed (r11 ADVICE):
+        // `a < b - L` and `a > b + L` — tightened by 1 like their
+        // mirrors. Wrapped tightenings at the Long extremes land
+        // near +/-2^63 and are discarded by the 2^61 extreme-bounds
+        // bail-out before any bucket arithmetic.
+        case LessThan(a, Subtract(b, Literal(v, t), _)) if ok(a, b, t) =>
+          Some((a, b, true, -litLong(v) - 1))
+        case GreaterThan(a, Add(b, Literal(v, t), _)) if ok(a, b, t) =>
+          Some((a, b, false, litLong(v) + 1))
+        case GreaterThan(a, Add(Literal(v, t), b, _)) if ok(a, b, t) =>
+          Some((a, b, false, litLong(v) + 1))
         case _ => None
       }
   }

@@ -93,6 +93,29 @@ class BandJoinRewriteSpec extends AnyFunSuite with SparkSuite {
     assert(j.count() == expected)
   }
 
+  test("strict a < b - L / a >= b - U pair decomposes (r11 ADVICE gap)") {
+    // the strict-upper shape the r11 pattern table missed: band is
+    // a - b in [-100, -21]
+    val j = longDf("a", aTs).join(longDf("b", bTs),
+      col("a_ts") < col("b_ts") - 20L && col("a_ts") >= col("b_ts") - 100L)
+    assert(!hasNestedLoop(j), "strict a < b - L band was not decomposed:\n" +
+      j.queryExecution.executedPlan.toString)
+    val expected = aTs.flatMap(a => bTs.filter(b =>
+      a < b - 20L && a >= b - 100L)).size.toLong
+    assert(j.count() == expected)
+  }
+
+  test("strict a > b + L / a <= b + U pair decomposes (r11 ADVICE gap)") {
+    // the strict-lower mirror: band is a - b in [21, 100]
+    val j = longDf("a", aTs).join(longDf("b", bTs),
+      col("a_ts") > col("b_ts") + 20L && col("a_ts") <= col("b_ts") + 100L)
+    assert(!hasNestedLoop(j), "strict a > b + L band was not decomposed:\n" +
+      j.queryExecution.executedPlan.toString)
+    val expected = aTs.flatMap(a => bTs.filter(b =>
+      a > b + 20L && a <= b + 100L)).size.toLong
+    assert(j.count() == expected)
+  }
+
   test("a one-sided inequality alone is NOT rewritten") {
     val j = longDf("a", aTs).join(longDf("b", bTs),
       col("a_ts") <= col("b_ts") + 100L)
