@@ -23,8 +23,11 @@ class PlanContractSpec extends AnyFunSuite with SparkSuite {
     assert(in != null, "plan-contracts.tsv missing from test resources — " +
       "run: sbt \"runMain graft.plans.PlanContracts\"")
     val src = Source.fromInputStream(in)
+    // line shape: key \t signature [\t # bnlj allowed: reason] — the
+    // third field is the human adjudication for bnlj>0 keys (r12) and
+    // is not part of the compared signature
     try src.getLines().filter(_.nonEmpty).map { l =>
-      val Array(k, v) = l.split("\t", 2); k -> v
+      val fields = l.split("\t", 3); fields(0) -> fields(1)
     }.toMap
     finally src.close()
   }
@@ -75,6 +78,31 @@ class PlanContractSpec extends AnyFunSuite with SparkSuite {
       (diffs ++ stale.map(s => s"$s: contract for deleted query"))
         .mkString("\n", "\n", "\n") +
         "intended? regenerate: sbt \"runMain graft.plans.PlanContracts\"")
+  }
+
+  test("every bnlj>0 contract line carries an AllowedBnlj adjudication") {
+    // the committed tsv, the in-source allowlist, and the adjudication
+    // comments must agree exactly (r11 verdict #1): a key regressing TO
+    // a counted BNLJ fails the signature sweep above; a key frozen WITH
+    // one must have a reviewed smallness argument; a stale allowance
+    // (key no longer planning one) must be dropped so the list can't rot
+    val in = getClass.getResourceAsStream("/plan-contracts.tsv")
+    val src = Source.fromInputStream(in)
+    val parsed = try src.getLines().filter(_.nonEmpty).map { l =>
+      val f = l.split("\t", 3)
+      (f(0), f(1), if (f.length > 2) Some(f(2)) else None)
+    }.toSeq finally src.close()
+    val bnljKeys = parsed.collect {
+      case (k, sig, _) if !sig.endsWith("bnlj=0") => k
+    }.toSet
+    assert(bnljKeys == graft.plans.PlanContracts.AllowedBnlj.keySet,
+      s"bnlj>0 contract keys $bnljKeys != AllowedBnlj keys " +
+        s"${graft.plans.PlanContracts.AllowedBnlj.keySet}")
+    val unannotated = parsed.collect {
+      case (k, sig, None) if !sig.endsWith("bnlj=0") => k
+    }
+    assert(unannotated.isEmpty,
+      s"bnlj>0 lines missing the '# bnlj allowed:' comment: $unannotated")
   }
 
   test("the plan-only sweep leaves no CacheManager registrations (r6 #3)") {
