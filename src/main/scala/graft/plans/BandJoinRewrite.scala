@@ -1,10 +1,38 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, ByteType, DateType, DayTimeIntervalType, DecimalType, IntegerType, LongType, ShortType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, DayTimeIntervalType, DecimalType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
+
+/** Reinterprets a TimestampNTZ value as its internal epoch-micros Long.
+  * TimestampNTZType's physical representation IS micros since epoch of
+  * the wall-clock reading (no zone), so this is a zero-cost identity —
+  * unlike Cast to Long (whole seconds, lossy) or an NTZ→TZ cast (a
+  * session-zone shift that is NOT constant across a DST boundary, which
+  * would put in-band pairs in non-adjacent buckets = lost rows). Used
+  * only inside [[BandJoinRewrite]]'s bucket-key construction; never
+  * user-facing.
+  */
+private[plans] case class NtzMicros(child: Expression)
+    extends UnaryExpression {
+  // AbstractDataType/ExpectsInputTypes are private[sql]; check directly
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == TimestampNTZType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"$prettyName requires timestamp_ntz, got " +
+        child.dataType.simpleString)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = v
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
 
 /** Optimizer rule: keyless BAND joins get the bucket-equi-join
   * decomposition automatically.
@@ -69,7 +97,10 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DateType, DayTimeInterva
   * Long expressions. The RESIDUAL stays the ORIGINAL temporal
   * predicate, so the rewrite cannot change semantics even where the
   * normalization is conservative; year-month intervals (variable
-  * length) and TimestampNTZ are deliberately not matched.
+  * length) are deliberately not matched. TimestampNTZ (r11 verdict
+  * #4) IS matched — it is the same Long-micros representation on the
+  * wall-clock epoch ([[NtzMicros]]) — but a comparison mixing the
+  * wall-clock and UTC epochs bails out (`mixesEpochs`).
   *
   * DECIMAL bands (`abs(a.price - b.price) <= 5.00` with a decimal
   * literal — the duplicate-payment / price-band join): a DecimalType is
@@ -171,9 +202,17 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val MicrosPerDay = 86400000000L
 
-  /** A Timestamp/Date-typed expression, rewritten to epoch micros. */
+  /** A Timestamp/Date-typed expression, rewritten to epoch micros.
+    * TimestampNTZ (r11 verdict #4) is the same Long-micros
+    * representation as TimestampType, just wall-clock-epoch instead of
+    * UTC-epoch; [[NtzMicros]] reinterprets it at zero cost. The two
+    * epochs must never meet inside one comparison — `normalizeTemporal`
+    * bails on any normalized tree mixing NtzMicros with
+    * UnixMicros/UnixDate.
+    */
   private def toMicros(e: Expression): Option[Expression] = e.dataType match {
     case TimestampType => Some(UnixMicros(e))
+    case TimestampNTZType => Some(NtzMicros(e))
     case DateType => Some(Multiply(Cast(UnixDate(e), LongType),
       Literal(MicrosPerDay, LongType), EvalMode.LEGACY))
     case _ => None
@@ -187,7 +226,10 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def microsOperand(e: Expression): Option[Expression] = e match {
     case Abs(inner, fail) => microsOperand(inner).map(Abs(_, fail))
     case Literal(v: Long, _: DayTimeIntervalType) => Some(Literal(v, LongType))
-    case st: SubtractTimestamps =>
+    // same-type operands only: a TZ−NTZ subtract (if analysis ever
+    // admits one uncoerced) would difference UTC-epoch against
+    // wall-clock-epoch micros — wrong buckets = lost rows
+    case st: SubtractTimestamps if st.left.dataType == st.right.dataType =>
       for (a <- toMicros(st.left); b <- toMicros(st.right))
         yield Subtract(a, b, EvalMode.LEGACY)
     case sd: SubtractDates =>
@@ -299,9 +341,34 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * so a normalization that fails to fire only costs the optimization,
     * never correctness.
     */
+  /** UTC-epoch and wall-clock-epoch micros inside ONE comparison never
+    * mix: NtzMicros (wall epoch) against UnixMicros/UnixDate (UTC
+    * epoch) differ by the session-zone offset — not constant under
+    * DST, so buckets could land non-adjacent and LOSE in-band rows
+    * (the one failure the residual cannot repair). Coerced shapes are
+    * unaffected: an analyzer-inserted Cast(ntz AS timestamp) has
+    * TimestampType and normalizes through UnixMicros, mirroring
+    * exactly the values the original predicate compares.
+    */
+  private def mixesEpochs(l: Expression, r: Expression): Boolean = {
+    def scan(e: Expression): (Boolean, Boolean) = {
+      var ntz = false; var utc = false
+      e.foreach {
+        case _: NtzMicros => ntz = true
+        case _: UnixMicros | _: UnixDate => utc = true
+        case _ =>
+      }
+      (ntz, utc)
+    }
+    val (ln, lu) = scan(l)
+    val (rn, ru) = scan(r)
+    (ln || rn) && (lu || ru)
+  }
+
   private def normalizeTemporal(e: Expression): Expression = e match {
     case cmp: BinaryComparison =>
       (microsOperand(cmp.left), microsOperand(cmp.right)) match {
+        case (Some(l), Some(r)) if mixesEpochs(l, r) => e
         case (Some(l), Some(r)) => cmp.withNewChildren(Seq(l, r))
         case _ =>
           (isDec(cmp.left) || isDec(cmp.right),

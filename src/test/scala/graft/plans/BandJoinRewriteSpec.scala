@@ -209,6 +209,44 @@ class BandJoinRewriteSpec extends AnyFunSuite with SparkSuite {
     assert(j.count() == expected)
   }
 
+  // ---- TimestampNTZ bands (r11 verdict #4) ---------------------------
+
+  private def ntzDf(name: String, vs: Seq[Long]): DataFrame =
+    longDf(name, vs).withColumn(s"${name}_t",
+      expr(s"cast(timestamp_micros(${name}_ts * 1000000) as timestamp_ntz)"))
+      .drop(s"${name}_ts")
+
+  test("raw TimestampNTZ |a.t - b.t| <= INTERVAL decomposes") {
+    val j = ntzDf("a", aTs).join(ntzDf("b", bTs),
+      abs(col("a_t") - col("b_t")) <= expr("INTERVAL '100' SECOND"))
+    assert(!hasNestedLoop(j), "NTZ band join was not decomposed:\n" +
+      j.queryExecution.executedPlan.toString)
+    assert(j.count() == bruteCount(100L, strict = false))
+  }
+
+  test("raw TimestampNTZ between(t - INTERVAL, t + INTERVAL) decomposes") {
+    val j = ntzDf("a", aTs).join(ntzDf("b", bTs),
+      col("a_t").between(col("b_t") - expr("INTERVAL '40' SECOND"),
+        col("b_t") + expr("INTERVAL '100' SECOND")))
+    assert(!hasNestedLoop(j), "NTZ between band was not decomposed:\n" +
+      j.queryExecution.executedPlan.toString)
+    val expected = aTs.flatMap(a => bTs.filter(b =>
+      a >= b - 40L && a <= b + 100L)).size.toLong
+    assert(j.count() == expected)
+  }
+
+  test("mixed NTZ/TZ band: rows stay exact whatever the analyzer does") {
+    // the analyzer coerces a TZ-vs-NTZ comparison to one type (the
+    // coercion Cast then normalizes through that type's epoch — exact);
+    // if a Spark version ever admitted an UNcoerced mix, mixesEpochs
+    // bails to the nested-loop plan. Either way the row set is exact —
+    // that is the property pinned here, not the plan shape.
+    val j = ntzDf("a", aTs).join(tsDf("b", bTs),
+      abs(col("a_t") - col("b_t")) <= expr("INTERVAL '100' SECOND"))
+    // session tz is UTC, so the coerced walls equal the TZ instants
+    assert(j.count() == bruteCount(100L, strict = false))
+  }
+
   test("year-month interval bands are NOT rewritten (variable length)") {
     val j = tsDf("a", aTs).join(tsDf("b", bTs),
       col("a_t").between(col("b_t") - expr("INTERVAL '1' MONTH"),
