@@ -160,7 +160,8 @@ object SparkEntry {
     (Round11cQueries.queries, Round11cQueries.oracle),
     (Round11dQueries.queries, Round11dQueries.oracle),
     (Round11eQueries.queries, Round11eQueries.oracle),
-    (Round12aQueries.queries, Round12aQueries.oracle))
+    (Round12aQueries.queries, Round12aQueries.oracle),
+    (Round12bQueries.queries, Round12bQueries.oracle))
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]

@@ -40,6 +40,52 @@ class Round12QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(a.head == b.head)
   }
 
+  // ---- 12b: deterministic heavy hitters ------------------------------
+
+  test("q_topk_space_saving: provable threshold guarantee, ranked exact counts") {
+    val rows = run(Round12bQueries.queries, "q_topk_space_saving").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // the superset guarantee (every >= N/200 key is a candidate) is a
+    // THEOREM of the averaging argument — it must read true always
+    assert(rows.forall(_.getBoolean(6)), "threshold_covered violated")
+    assert(rows.forall(r => r.getLong(4) <= r.getLong(3)),
+      "more candidates than keys")
+    val ns = rows.sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(ns.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "top-10 not ordered by exact count")
+  }
+
+  test("q_topk_weighted: weighted variant holds the same guarantees") {
+    val rows = run(Round12bQueries.queries, "q_topk_weighted").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_.getBoolean(7)), "threshold_covered violated")
+    val ws = rows.sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(ws.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("q_any_heavy: Boyer-Moore guarantee holds, counts consistent") {
+    val rows = run(Round12bQueries.queries, "q_any_heavy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(6), s"bm_guarantee_holds false for ${r.getString(0)}")
+      assert(r.getLong(3) <= r.getLong(1), "mode count exceeds group size")
+      assert(r.getLong(4) <= 16L * 1, "more candidates than shards per type")
+      assert(r.getBoolean(5) == (r.getLong(3) * 2 > r.getLong(1)))
+    }
+  }
+
+  test("q_sparkbar: 0..8 levels, max bucket at level 8, counts conserve") {
+    import org.apache.spark.sql.functions._
+    val rows = run(Round12bQueries.queries, "q_sparkbar").collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 8))
+    assert(rows.exists(_.getLong(3) == 8), "max-count bucket must hit level 8")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 32))
+    val total = graft.Tables(spark, sf0001, "events")
+      .filter(col("ts").isNotNull).count()
+    assert(rows.map(_.getLong(2)).sum == total, "bucket counts don't conserve")
+  }
+
   test("NTZ band-join keys plan without a nested-loop join") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     for (k <- Seq("q_ntz_band_join_auto", "q_ntz_between_join_auto")) {
