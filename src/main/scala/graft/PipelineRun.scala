@@ -43,9 +43,16 @@ import org.apache.spark.storage.StorageLevel
   * a ≤ #sources waterfill frame). At 100 TB the stage frames persist to
   * MEMORY_AND_DISK and the shard count is the packing parallelism knob.
   *
-  * Usage: runMain graft.PipelineRun <sfDir> <outDir> [--incremental]
+  * Usage: runMain graft.PipelineRun <sfDir> <outDir>
+  *          [--incremental] [--state=DIR] [--prepare-state]
   * Writes outDir/manifest*.parquet + outDir/ledger*.parquet and prints
-  * one JSON line (stage ledger + wall seconds) for PIPELINE_r11.json.
+  * one JSON line (stage ledger + wall seconds) for PIPELINE_r*.json.
+  * The full run additionally persists outDir/state/ (fingerprints +
+  * LSH band table + per-shard pack tails of the shipped set — the
+  * day-2 indexes, r11 verdict #3); `--incremental --state=DIR` probes
+  * that disk state instead of recomputing the base, and
+  * `--prepare-state` writes the BASE-split state the equivalence spec
+  * compares both incremental modes against.
   */
 object PipelineRun {
 
@@ -181,6 +188,7 @@ object PipelineRun {
       rows += StageResult(name, lastM._1, m._1, lastM._2, m._2, secs)
       prev.foreach(_.unpersist())
       prev = None
+      lastM = m
     }
 
     def result(spark: SparkSession, path: String): Seq[StageResult] = {
@@ -287,6 +295,18 @@ object PipelineRun {
     manifest.write.mode("overwrite").parquet(s"$outDir/manifest.parquet")
     ledger.closeWith("pack", measure(manifest),
       (System.nanoTime() - t0) / 1e9)
+
+    // 9. index_write (r11 verdict #3): persist the day-2 state — the
+    // fingerprints + LSH band table + per-shard pack tails of the
+    // SHIPPED set — so tomorrow's incremental run probes disk indexes
+    // instead of re-deriving them from the corpus. A no-drop ledger
+    // stage: its input and output are the packed survivors.
+    val t0s = System.nanoTime()
+    val kept = raw.join(manifest.select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    writeState(kept, s"$outDir/state")
+    ledger.closeWith("index_write", measure(kept),
+      (System.nanoTime() - t0s) / 1e9)
     manifest.unpersist()
     raw.unpersist()
     ledger.result(spark, s"$outDir/ledger.parquet")
@@ -318,6 +338,65 @@ object PipelineRun {
   def fingerprintsOf(df: DataFrame): DataFrame =
     df.select(fingerprint.as("fp")).distinct()
 
+  /** Per-shard pack tail of a kept set: how many 512-token packs the
+    * concat-then-chunk layout uses, i.e. where an append continues.
+    */
+  def packTailsOf(df: DataFrame): DataFrame =
+    df.withColumn("shard", shardCol)
+      .groupBy("shard")
+      .agg(((sum(col("tok")) + 511L).cast("long")).as("base_tok"))
+      .select(col("shard"), expr("base_tok div 512").as("base_packs"))
+
+  /** The persisted day-2 state (r11 verdict #3): the THREE narrow
+    * indexes an incremental run probes — content fingerprints, the LSH
+    * band table, and per-shard pack tails. This is the deliverable a
+    * production deployment keeps on disk between runs; everything in it
+    * is doc-id/hash/key-width narrow (no text column leaves the run).
+    */
+  def writeState(survivors: DataFrame, stateDir: String): Unit = {
+    fingerprintsOf(survivors)
+      .write.mode("overwrite").parquet(s"$stateDir/fingerprints.parquet")
+    bandTable(survivors)
+      .write.mode("overwrite").parquet(s"$stateDir/bands.parquet")
+    packTailsOf(survivors)
+      .write.mode("overwrite").parquet(s"$stateDir/pack_tails.parquet")
+  }
+
+  /** (fingerprints, bands, pack tails) back from `writeState`'s dir. */
+  def readState(spark: SparkSession,
+                stateDir: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$stateDir/fingerprints.parquet"),
+      spark.read.parquet(s"$stateDir/bands.parquet"),
+      spark.read.parquet(s"$stateDir/pack_tails.parquet"))
+
+  /** Day-1 state preparation for the incremental spec/protocol: runs
+    * the base split's dedup stages (gate → exact keep-best → internal
+    * fuzzy — exactly `baseSurvivorsFor`) and persists the resulting
+    * indexes, so a day-2 `--incremental --state=...` run probes disk
+    * state instead of recomputing the base.
+    */
+  def prepareState(spark: SparkSession, sfDir: String, stateDir: String,
+                   basePct: Double = 0.8): (Long, Double) = {
+    graft.expressions.TextExpressions.register(spark)
+    val t0 = System.nanoTime()
+    val withCut = corpusWithCut(spark, sfDir, basePct)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // same composition as baseSurvivorsFor, staged: the fuzzy stage's
+    // band SELF-join reads its input twice, so an unpersisted
+    // gate→exact chain would be recomputed inside every write action
+    val exact = exactKeepBest(
+        gateKeep(withCut.filter(col("doc_id") <= col("cut"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val survivors = fuzzyDedupInternal(exact)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    writeState(survivors, stateDir)
+    val n = survivors.count()
+    survivors.unpersist()
+    exact.unpersist()
+    withCut.unpersist()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Incremental (day-2) ingestion — how a 100 TB pipeline actually
     * runs: the corpus is split by doc_id rank into a BASE (first
     * `basePct`) whose post-dedup survivors stand in for the indexes a
@@ -338,7 +417,8 @@ object PipelineRun {
     * point of incremental ingestion.
     */
   def incremental(spark: SparkSession, sfDir: String, outDir: String,
-                  basePct: Double = 0.8): Seq[StageResult] = {
+                  basePct: Double = 0.8,
+                  stateDir: Option[String] = None): Seq[StageResult] = {
     graft.expressions.TextExpressions.register(spark)
     val ledger = new Ledger
 
@@ -350,11 +430,19 @@ object PipelineRun {
     val withCut = corpusWithCut(spark, sfDir, basePct)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // the base's post-dedup survivors = what production already indexed
-    val baseSurvivors = baseSurvivorsFor(withCut)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val baseFps = fingerprintsOf(baseSurvivors)
-    val baseBands = bandTable(baseSurvivors)
+    // the base's post-dedup state: READ from disk when a day-1 run
+    // persisted it (`--state=dir`, r11 verdict #3 — the actual
+    // production shape: day-2 wall time carries no base recompute), or
+    // recomputed from the base split when not (the self-contained
+    // mode the equivalence spec pins against)
+    val state = stateDir.map(readState(spark, _))
+    val baseSurvivors = if (state.isEmpty)
+      Some(baseSurvivorsFor(withCut).persist(StorageLevel.MEMORY_AND_DISK))
+    else None
+    val baseFps = state.map(_._1)
+      .getOrElse(fingerprintsOf(baseSurvivors.get))
+    val baseBands = state.map(_._2)
+      .getOrElse(bandTable(baseSurvivors.get))
 
     val newSplit = withCut.filter(col("doc_id") > col("cut"))
     ledger.seed("ingest_new", newSplit)
@@ -380,10 +468,7 @@ object PipelineRun {
 
     // pack_append: packs continue per shard after the base's last pack
     val t0p = System.nanoTime()
-    val baseLast = baseSurvivors.withColumn("shard", shardCol)
-      .groupBy("shard")
-      .agg(((sum(col("tok")) + 511L).cast("long")).as("base_tok"))
-      .select(col("shard"), expr("base_tok div 512").as("base_packs"))
+    val baseLast = state.map(_._3).getOrElse(packTailsOf(baseSurvivors.get))
     val manifest = decontaminated
       .withColumn("shard", shardCol)
       .join(broadcast(baseLast), Seq("shard"), "left")
@@ -401,22 +486,36 @@ object PipelineRun {
     ledger.closeWith("pack_append", measure(manifest),
       (System.nanoTime() - t0p) / 1e9)
     manifest.unpersist()
-    baseSurvivors.unpersist()
+    baseSurvivors.foreach(_.unpersist())
     withCut.unpersist()
     ledger.result(spark, s"$outDir/ledger_incremental.parquet")
   }
 
   def main(args: Array[String]): Unit = {
     val incrementalMode = args.contains("--incremental")
+    val prepareMode = args.contains("--prepare-state")
+    val stateDir = args.find(_.startsWith("--state="))
+      .map(_.stripPrefix("--state="))
     val pos = args.filterNot(_.startsWith("--"))
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (pos.length > 1) pos(1) else "/tmp/graft_pipeline"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(cpus = cpus, appName = "graft-pipeline",
       autoReleaseCaches = false)
+    if (prepareMode) {
+      // day-1 index preparation for the day-2 protocol: write the base
+      // split's fingerprints/bands/pack-tails to outDir/state
+      val (n, secs) = prepareState(spark, sfDir, s"$outDir/state")
+      println(s"""{"metric":"pipeline_prepare_state","sf":"$sfDir",""" +
+        s""""base_survivors":$n,"total_secs":${f"$secs%.2f"},""" +
+        s""""state_dir":"$outDir/state"}""")
+      spark.stop(); return
+    }
     val t0 = System.nanoTime()
-    val stages = if (incrementalMode) incremental(spark, sfDir, outDir)
-                 else run(spark, sfDir, outDir)
+    val stages =
+      if (incrementalMode) incremental(spark, sfDir, outDir,
+        stateDir = stateDir)
+      else run(spark, sfDir, outDir)
     val total = (System.nanoTime() - t0) / 1e9
     val stageJson = stages.map(s =>
       s"""{"stage":"${s.stage}","docs_in":${s.docsIn},"docs_kept":${s.docsKept},""" +
@@ -424,7 +523,10 @@ object PipelineRun {
         s""""tokens_kept":${s.tokensKept},"secs":${f"${s.secs}%.3f"}}""")
       .mkString("[", ",", "]")
     val metric = if (incrementalMode) "pipeline_incremental" else "pipeline_e2e"
-    println(s"""{"metric":"$metric","sf":"$sfDir","total_secs":${f"$total%.2f"},"stages":$stageJson}""")
+    val baseMode = if (!incrementalMode) ""
+      else s""""base_state":"${if (stateDir.isDefined) "persisted"
+        else "recomputed"}","""
+    println(s"""{"metric":"$metric","sf":"$sfDir",$baseMode"total_secs":${f"$total%.2f"},"stages":$stageJson}""")
     spark.stop()
   }
 }
