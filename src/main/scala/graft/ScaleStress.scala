@@ -51,7 +51,14 @@ object ScaleStress {
     "q_bucketed_range_join", "q_nearest_event_join", "q_asof_global",
     "ann_spann_closure")
 
-  private val ShiftUnit = 100000000L // > every key in sf0.1 by 100x
+  // > every sf0.1 key (max 149,999) by ~66x, AND small enough that
+  // factor-100 replicas keep every node id under 10^9 < 2^31 — the
+  // precondition of q_ktruss_support's single-long edge packing
+  // (a << 32 | b). The previous 10^8 unit put 100x ids at ~10^10,
+  // outside the packable range. Shifts only relabel keys; per-copy
+  // structure and cross-copy disjointness (ShiftUnit > max key) are
+  // unchanged, so exponents stay comparable across rounds.
+  private val ShiftUnit = 10000000L
 
   /** Per-table id-like columns to shift per copy (weak scaling). */
   private val keyCols: Map[String, Seq[String]] = Map(
