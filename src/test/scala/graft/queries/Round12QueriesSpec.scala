@@ -86,6 +86,55 @@ class Round12QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_.getLong(2)).sum == total, "bucket counts don't conserve")
   }
 
+  // ---- 12c: rank tests / association / sequence & interval analogs ---
+
+  test("q_mann_whitney_u: U within range, z sign matches the U excess") {
+    val r = run(Round12cQueries.queries, "q_mann_whitney_u").collect().head
+    val (n1, n2, twoU1) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(twoU1 >= 0 && twoU1 <= 2 * n1 * n2, "U out of [0, n1*n2]")
+    if (!r.isNullAt(4)) {
+      val z = r.getDouble(4)
+      assert(math.signum(z) == math.signum((twoU1 - n1 * n2).toDouble))
+    }
+  }
+
+  test("q_spearman_rho: |rho| <= 1, rank variances non-negative") {
+    val r = run(Round12cQueries.queries, "q_spearman_rho").collect().head
+    if (!r.isNullAt(1))
+      assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-12)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0)
+  }
+
+  test("q_sequence_count_greedy: min-cut bound holds, counts consistent") {
+    val r = run(Round12cQueries.queries, "q_sequence_count_greedy")
+      .collect().head
+    assert(r.getBoolean(4), "greedy exceeded min(views, purchases) bound")
+    assert(r.getLong(1) <= r.getLong(0))
+    assert(r.getLong(3) <= r.getLong(2))
+  }
+
+  test("q_max_intersections: concurrency within [1, sessions] per day") {
+    val rows = run(Round12cQueries.queries, "q_max_intersections").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1),
+        s"day ${r.get(0)}: max ${r.getLong(2)} vs n ${r.getLong(1)}")
+    }
+  }
+
+  test("q_contingency_coef: bounds hold and chi2 agrees with q_cramers_v") {
+    val r = run(Round12cQueries.queries, "q_contingency_coef").collect().head
+    val chi2 = r.getDouble(1)
+    assert(chi2 >= 0.0)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0) // C in [0, 1)
+    assert(r.getDouble(3) >= 0.0)                         // phi2
+    if (!r.isNullAt(4))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+    // same contingency table, same fold => bitwise-identical chi2
+    val cv = run(Round11cQueries.queries, "q_cramers_v").collect().head
+    assert(chi2 == cv.getDouble(1), "chi2 diverges from q_cramers_v")
+  }
+
   test("NTZ band-join keys plan without a nested-loop join") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     for (k <- Seq("q_ntz_band_join_auto", "q_ntz_between_join_auto")) {
