@@ -162,7 +162,8 @@ object SparkEntry {
     (Round11eQueries.queries, Round11eQueries.oracle),
     (Round12aQueries.queries, Round12aQueries.oracle),
     (Round12bQueries.queries, Round12bQueries.oracle),
-    (Round12cQueries.queries, Round12cQueries.oracle))
+    (Round12cQueries.queries, Round12cQueries.oracle),
+    (Round12dQueries.queries, Round12dQueries.oracle))
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]

@@ -135,6 +135,35 @@ class Round12QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(chi2 == cv.getDouble(1), "chi2 diverges from q_cramers_v")
   }
 
+  // ---- 12d: interval algebra over the session sweep -------------------
+
+  test("interval identities: union <= naive, histogram mass reconciles") {
+    val union = run(Round12dQueries.queries, "q_interval_length_sum")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    union.foreach { case (day, (n, u, naive)) =>
+      assert(u <= naive, s"$day union exceeds naive session mass")
+      assert(u > 0 || n == 0)
+    }
+    val hist = run(Round12dQueries.queries, "q_concurrency_histogram")
+      .collect().groupBy(_.getDate(0).toString)
+    hist.foreach { case (day, rows) =>
+      val (n, u, _) = union(day)
+      // k>=1 time mass equals the union length...
+      assert(rows.map(_.getLong(2)).sum == u, s"$day union mass mismatch")
+      // ...and the k-WEIGHTED mass equals n_sessions x 300 s exactly
+      val weighted = rows.map(r => r.getLong(1) * r.getLong(2)).sum
+      assert(weighted == n * 300000000L, s"$day weighted mass mismatch")
+    }
+    // peak agreement with q_max_intersections
+    val peaks = run(Round12cQueries.queries, "q_max_intersections")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    hist.foreach { case (day, rows) =>
+      assert(rows.map(_.getLong(1)).max == peaks(day),
+        s"$day histogram peak != max_intersections")
+    }
+  }
+
   test("NTZ band-join keys plan without a nested-loop join") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     for (k <- Seq("q_ntz_band_join_auto", "q_ntz_between_join_auto")) {
