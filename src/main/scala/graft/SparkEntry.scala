@@ -163,7 +163,10 @@ object SparkEntry {
     (Round12aQueries.queries, Round12aQueries.oracle),
     (Round12bQueries.queries, Round12bQueries.oracle),
     (Round12cQueries.queries, Round12cQueries.oracle),
-    (Round12dQueries.queries, Round12dQueries.oracle))
+    (Round12dQueries.queries, Round12dQueries.oracle),
+    (Round12eQueries.queries, Round12eQueries.oracle),
+    (Round12fQueries.queries, Round12fQueries.oracle),
+    (Round12gQueries.queries, Round12gQueries.oracle))
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]

@@ -164,6 +164,165 @@ class Round12QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 12e: statistical-test tail ------------------------------------
+
+  test("q_ks_test: two-level prefix sum equals the naive one-window KS") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val a = run(Round12eQueries.queries, "q_ks_test").collect().head
+    // naive single-window recomputation (the shape the two-level split
+    // replaces): same integers must fall out
+    val ord = graft.Tables(spark, sf0001, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("g1"),
+        when(col("o_orderstatus") === "O", 1L).otherwise(0L).as("g2"))
+    val tot = ord.agg(sum("g1").as("n1"), sum("g2").as("n2")).collect().head
+    val (n1, n2) = (tot.getLong(0), tot.getLong(1))
+    val naive = ord.groupBy("v")
+      .agg(sum("g1").as("c1"), sum("g2").as("c2"))
+      .withColumn("cum1", sum("c1").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum2", sum("c2").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .agg(max(abs(col("cum1") * n2 - col("cum2") * n1)))
+      .collect().head.getLong(0)
+    assert(a.getLong(0) == n1 && a.getLong(1) == n2)
+    assert(a.getLong(2) == naive, "two-level prefix sum diverged from naive")
+    assert(a.getDouble(3) >= 0.0 && a.getDouble(3) <= 1.0, "D out of [0,1]")
+  }
+
+  test("q_simple_linreg agrees with covar/var built-ins to 1e-9 relative") {
+    import org.apache.spark.sql.functions._
+    val a = run(Round12eQueries.queries, "q_simple_linreg").collect().head
+    val ref = graft.Tables(spark, sf0001, "lineitem")
+      .agg(covar_pop(col("l_quantity"), col("l_extendedprice")).as("cov"),
+        var_pop(col("l_quantity")).as("vx"),
+        avg(col("l_quantity")).as("mx"),
+        avg(col("l_extendedprice")).as("my"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("r"))
+      .collect().head
+    val slope = ref.getDouble(0) / ref.getDouble(1)
+    val icept = ref.getDouble(3) - slope * ref.getDouble(2)
+    def rel(x: Double, y: Double) = math.abs(x - y) /
+      math.max(1.0, math.max(math.abs(x), math.abs(y)))
+    assert(rel(a.getDouble(1), slope) < 1e-9, "slope diverged")
+    assert(rel(a.getDouble(2), icept) < 1e-9, "intercept diverged")
+    assert(rel(a.getDouble(3), ref.getDouble(4) * ref.getDouble(4)) < 1e-9,
+      "r2 diverged from corr^2")
+  }
+
+  test("q_mean_ztest: CI brackets the mean diff; z sign matches") {
+    val r = run(Round12eQueries.queries, "q_mean_ztest").collect().head
+    if (!r.isNullAt(3)) {
+      val (diff, z) = (r.getDouble(2), r.getDouble(3))
+      assert(r.getDouble(4) <= diff && diff <= r.getDouble(5),
+        "CI fails to bracket the observed difference")
+      assert(z.sign == diff.sign || diff == 0.0, "z sign mismatch")
+    }
+  }
+
+  // ---- 12f: time-series aggregate tail -------------------------------
+
+  test("q_delta_sum_timestamp: delta_sum >= 0, moves reconcile with events") {
+    val rows = run(Round12fQueries.queries, "q_delta_sum_timestamp").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, "positive-delta sum went negative")
+      // n-1 adjacent pairs per type: increases + decreases <= n - 1
+      assert(r.getLong(3) + r.getLong(4) <= r.getLong(1) - 1,
+        s"${r.getString(0)}: more moves than adjacent pairs")
+    }
+  }
+
+  test("q_quantile_timing: quantiles ordered, bins on the CH timing grid") {
+    val r = run(Round12fQueries.queries, "q_quantile_timing").collect().head
+    if (!r.isNullAt(1)) {
+      val (q50, q90, q99) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(q50 <= q90 && q90 <= q99, "quantiles out of order")
+      for (q <- Seq(q50, q90, q99))
+        assert(q == 30000L || q < 1024L || q % 64 == 0,
+          s"bin $q off the 1ms/64ms/30s grid")
+    }
+  }
+
+  test("q_exp_moving_avg: EMA bounded by the hourly-mean range") {
+    import org.apache.spark.sql.functions._
+    val rows = run(Round12fQueries.queries, "q_exp_moving_avg").collect()
+    assert(rows.nonEmpty)
+    val hourly = graft.Tables(spark, sf0001, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(avg(col("value")).as("hv"))
+      .groupBy("event_type")
+      .agg(min("hv").as("lo"), max("hv").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    rows.foreach { r =>
+      val (lo, hi) = hourly(r.getString(0))
+      // the fold starts at 0 and half-weights history: EMA sits within
+      // [min(0, lo), max(0, hi)] with ~1% slack for the decayed-to-zero
+      // initial mass
+      val eps = math.max(1.0, math.abs(hi)) * 0.01
+      assert(r.getDouble(2) >= math.min(0.0, lo) - eps &&
+        r.getDouble(2) <= math.max(0.0, hi) + eps,
+        s"${r.getString(0)}: EMA outside hourly-mean envelope")
+    }
+  }
+
+  // ---- 12g: moment/association aggregates ----------------------------
+
+  test("q_moments agrees with Spark's built-in skewness/kurtosis") {
+    import org.apache.spark.sql.functions._
+    val a = run(Round12gQueries.queries, "q_moments").collect().head
+    val ref = graft.Tables(spark, sf0001, "lineitem")
+      .agg(skewness(col("l_discount")).as("sk"),
+        kurtosis(col("l_discount")).as("ku"),
+        var_pop(col("l_discount")).as("vp"))
+      .collect().head
+    def rel(x: Double, y: Double) = math.abs(x - y) /
+      math.max(1.0, math.max(math.abs(x), math.abs(y)))
+    assert(rel(a.getDouble(2), ref.getDouble(2)) < 1e-9, "var_pop diverged")
+    assert(rel(a.getDouble(4), ref.getDouble(0)) < 1e-9, "skew diverged")
+    // Spark's kurtosis() is EXCESS kurtosis: kurt_pop - 3
+    assert(rel(a.getDouble(5) - 3.0, ref.getDouble(1)) < 1e-9,
+      "kurtosis diverged")
+  }
+
+  test("q_covar_corr agrees with covar_pop/corr built-ins per flag") {
+    import org.apache.spark.sql.functions._
+    val a = run(Round12gQueries.queries, "q_covar_corr").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    val ref = graft.Tables(spark, sf0001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(covar_pop(col("l_discount"), col("l_extendedprice")).as("cp"),
+        corr(col("l_discount"), col("l_extendedprice")).as("r"))
+      .collect()
+    def rel(x: Double, y: Double) = math.abs(x - y) /
+      math.max(1.0, math.max(math.abs(x), math.abs(y)))
+    ref.foreach { r =>
+      val (cp, cr) = a(r.getString(0))
+      assert(rel(cp, r.getDouble(1)) < 1e-9, s"${r.getString(0)} cov_pop")
+      assert(rel(cr, r.getDouble(2)) < 1e-6, s"${r.getString(0)} corr")
+    }
+  }
+
+  test("q_avg_weighted: weighted mean sits inside the value range") {
+    import org.apache.spark.sql.functions._
+    val rows = run(Round12gQueries.queries, "q_avg_weighted").collect()
+    val rng = graft.Tables(spark, sf0001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = rng(r.getString(0))
+      if (!r.isNullAt(2))
+        assert(r.getDouble(2) >= lo - 1e-9 && r.getDouble(2) <= hi + 1e-9,
+          s"${r.getString(0)}: weighted mean outside [min, max]")
+    }
+  }
+
   test("NTZ band-join keys plan without a nested-loop join") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     for (k <- Seq("q_ntz_band_join_auto", "q_ntz_between_join_auto")) {
