@@ -90,11 +90,17 @@ object Round9dQueries {
         // (a,b),(a,c) with b<c; the closing edge (b,c) makes the
         // triangle — each triangle found exactly once, then exploded
         // to its 3 (packed) edges
+        // closing-edge probe is a SHUFFLE_HASH join with the EDGE side
+        // as build: the wedge side is Σd²/2 rows — the largest frame in
+        // the repo — and a sort-merge join would SORT it (the 100×
+        // spill that broke the r11 sandbox run was mostly wedge sort
+        // files). Hash-building the edge side streams wedges through
+        // unsorted: same result, roughly half the spill.
         val tri = e.as("x").join(e.as("y"),
             shiftright(col("x.pe"), 32) === shiftright(col("y.pe"), 32) &&
               col("x.pe").bitwiseAND(m) < col("y.pe").bitwiseAND(m))
           .select(col("x.pe").as("pe1"), col("y.pe").as("pe2"))
-          .join(e.as("z"),
+          .join(e.as("z").hint("SHUFFLE_HASH"),
             shiftleft(col("pe1").bitwiseAND(m), 32)
               .bitwiseOR(col("pe2").bitwiseAND(m)) === col("z.pe"))
           .select(col("pe1"), col("pe2"), col("z.pe").as("pe3"))
