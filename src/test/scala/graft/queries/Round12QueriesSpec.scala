@@ -323,6 +323,76 @@ class Round12QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ---- 12h: ANOVA / Levene / corrMatrix / GD regression --------------
+
+  test("q_anova_f: SSB + SSW equals total SS, F >= 0, eta^2 in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val r = run(Round12hQueries.queries, "q_anova_f").collect().head
+    val (ssb, ssw) = (r.getDouble(2), r.getDouble(3))
+    assert(ssb >= -1e-6 && ssw >= -1e-6)
+    // identity: SSB + SSW = Σx² − S²/N (the total sum of squares)
+    val tot = graft.Tables(spark, sf0001, "lineitem")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("string").cast("double").as("s"),
+        sum((col("l_extendedprice").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2)) *
+          col("l_extendedprice").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("string").cast("double").as("ss"))
+      .collect().head
+    val sst = tot.getDouble(2) - tot.getDouble(1) * tot.getDouble(1) /
+      tot.getLong(0).toDouble
+    assert(math.abs(ssb + ssw - sst) / math.max(1.0, sst) < 1e-9,
+      s"SSB+SSW=$ssb+$ssw != SST=$sst")
+    if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0)
+    if (!r.isNullAt(5))
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+  }
+
+  test("q_levene_bf: F_BF >= 0 and deviations shrink SSB+SSW vs raw") {
+    val a = run(Round12hQueries.queries, "q_anova_f").collect().head
+    val l = run(Round12hQueries.queries, "q_levene_bf").collect().head
+    assert(l.getLong(0) == a.getLong(0) && l.getLong(1) == a.getLong(1))
+    if (!l.isNullAt(4)) assert(l.getDouble(4) >= 0.0)
+    // |x − median| has strictly smaller total SS than x itself here
+    assert(l.getDouble(2) + l.getDouble(3) <
+      a.getDouble(2) + a.getDouble(3))
+  }
+
+  test("q_corr_matrix: 6 ordered pairs, all within [-1, 1], and the " +
+    "(discount, price) cell agrees with Spark's corr()") {
+    import org.apache.spark.sql.functions._
+    val rows = run(Round12hQueries.queries, "q_corr_matrix").collect()
+    assert(rows.length == 6)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("discount", "price"), ("discount", "quantity"),
+        ("discount", "tax"), ("price", "quantity"), ("price", "tax"),
+        ("quantity", "tax")))
+    rows.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12)
+    }
+    val ref = graft.Tables(spark, sf0001, "lineitem")
+      .agg(corr(col("l_discount"), col("l_extendedprice"))).collect()
+      .head.getDouble(0)
+    val dp = rows.find(r => r.getString(0) == "discount" &&
+      r.getString(1) == "price").get.getDouble(3)
+    assert(math.abs(dp - ref) < 1e-6, s"corr(d,p) $dp vs Spark $ref")
+  }
+
+  test("q_gd_linreg: OLS is the MSE minimizer and 8 GD steps close " +
+    "most of the gap from w=0") {
+    val r = run(Round12hQueries.queries, "q_gd_linreg").collect().head
+    val (wGd, wOls) = (r.getDouble(1), r.getDouble(3))
+    val (mseGd, mseOls) = (r.getDouble(5), r.getDouble(6))
+    assert(mseOls <= mseGd + 1e-6, "OLS must minimize the MSE")
+    assert(math.abs(wGd - wOls) < math.abs(wOls),
+      "GD after 8 steps must be closer to OLS than the w=0 start")
+  }
+
   test("NTZ band-join keys plan without a nested-loop join") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     for (k <- Seq("q_ntz_band_join_auto", "q_ntz_between_join_auto")) {
