@@ -167,7 +167,8 @@ object SparkEntry {
     (Round12eQueries.queries, Round12eQueries.oracle),
     (Round12fQueries.queries, Round12fQueries.oracle),
     (Round12gQueries.queries, Round12gQueries.oracle),
-    (Round12hQueries.queries, Round12hQueries.oracle))
+    (Round12hQueries.queries, Round12hQueries.oracle),
+    (Round12iQueries.queries, Round12iQueries.oracle))
 
   private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val b = Map.newBuilder[String, (SparkSession, String) => DataFrame]

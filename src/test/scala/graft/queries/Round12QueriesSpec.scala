@@ -393,6 +393,49 @@ class Round12QueriesSpec extends AnyFunSuite with SparkSuite {
       "GD after 8 steps must be closer to OLS than the w=0 start")
   }
 
+  // ---- 12i: retention / bfloat16 quantile / RSI / MACD ---------------
+
+  test("q_retention_conditions: monotone cohort counts, ratios in [0,1]") {
+    val r = run(Round12iQueries.queries, "q_retention_conditions")
+      .collect().head
+    val (n, r1, r2, r3) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(n >= r1 && r1 >= r2 && r1 >= r3,
+      "retention conditions must be gated on the base condition")
+    for (i <- Seq(4, 5) if !r.isNullAt(i))
+      assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)
+  }
+
+  test("q_quantile_bfloat16: truncation bound is a theorem, " +
+    "quantiles ordered, truncated below exact") {
+    val r = run(Round12iQueries.queries, "q_quantile_bfloat16")
+      .collect().head
+    assert(r.getBoolean(5), "the 2^-7 relative truncation bound MUST hold")
+    assert(r.getDouble(1) <= r.getDouble(2) + 1e-12 &&
+      r.getDouble(2) <= r.getDouble(3) + 1e-12, "quantiles must be ordered")
+    assert(r.getDouble(1) <= r.getDouble(4) + 1e-12,
+      "truncation is downward: b16 median <= exact median")
+  }
+
+  test("q_rsi_wilder: RSI in [0, 100], EMAs non-negative") {
+    val rows = run(Round12iQueries.queries, "q_rsi_wilder").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 100.0,
+        s"${r.getString(0)}: RSI out of range")
+    }
+  }
+
+  test("q_macd_signal: macd and histogram identities hold bitwise") {
+    val r = run(Round12iQueries.queries, "q_macd_signal").collect().head
+    val (e12, e26, macd, sig, hist) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(macd == e12 - e26, "macd must be exactly ema12 - ema26")
+    assert(hist == macd - sig, "histogram must be exactly macd - signal")
+    assert(!macd.isNaN && !sig.isNaN)
+  }
+
   test("NTZ band-join keys plan without a nested-loop join") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     for (k <- Seq("q_ntz_band_join_auto", "q_ntz_between_join_auto")) {
