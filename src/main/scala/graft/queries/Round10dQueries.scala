@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-10 fourth batch: label-propagation community detection (LPA)
@@ -40,15 +39,40 @@ object Round10dQueries {
         .unionAll(e.select(col("b").as("u"), col("a").as("nb"))))
     val nodes = bidir.select(col("u").as("v")).distinct()
     var labels = nodes.withColumn("lbl", col("v"))
-    val byNode = Window.partitionBy("u")
-      .orderBy(col("c").desc, col("lbl").asc)
     for (_ <- 1 to K) {
+      // r12 optimization (guide §2.3/§4): the per-round argmax
+      // (count DESC, label ASC) is a single-LONG max — the old
+      // row_number() window sorted the whole (u, lbl, c) table each
+      // round (3 rounds × Sort+Window). The ordering is packed as
+      // (c << 32) | (2^32-1 − lbl): max picks max c, then min lbl —
+      // exactly the canonical LPA tie-break — and a one-long buffer
+      // keeps BOTH aggregates whole-stage-codegen HashAggregates
+      // (min(struct(-c, lbl)) was tried first and planned a
+      // SortAggregate, re-sorting the joined stream by u map-side:
+      // slower than the window it replaced). Pack preconditions are
+      // guarded loud, the ktruss idiom: c < 2^31 (a count of neighbors
+      // of one node) and 0 <= lbl < 2^32 (node ids; the ktruss packer
+      // asserts the same domain).
+      val m = lit(0xFFFFFFFFL)
+      val packed = when(col("c") < lit(1L << 31) &&
+          col("lbl") >= 0 && col("lbl") <= m,
+        shiftleft(col("c"), 32).bitwiseOR(m - col("lbl")))
+        .otherwise(raise_error(concat(lit("lpa argmax pack overflow: "),
+          col("c").cast("string"), lit(","), col("lbl").cast("string")))
+          .cast("long"))
+      // SHUFFLE_HASH with the label table as build: |V| rows ≤ |E| rows
+      // per partition, no sort of either side. Pinned explicitly —
+      // the r12 coEdges rewrite shrank the edge frame's size ESTIMATE
+      // and Catalyst started BROADCASTING the 2.4M-row bidir edge list
+      // into every round's join (a scale-killer the contract gate can't
+      // see: broadcasts counted 1 either way).
       labels = bidir
-        .join(labels.withColumnRenamed("v", "nb"), "nb")
+        .join(labels.withColumnRenamed("v", "nb").hint("SHUFFLE_HASH"),
+          "nb")
         .groupBy("u", "lbl").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(byNode))
-        .filter(col("rn") === 1)
-        .select(col("u").as("v"), col("lbl"))
+        .groupBy("u").agg(max(packed).as("p"))
+        .select(col("u").as("v"),
+          (m - col("p").bitwiseAND(m)).as("lbl"))
     }
     labels
   }

@@ -44,15 +44,24 @@ object Round10iQueries {
     * ts, event_id), journey ends to END, plus START -> first event.
     */
   private def transitions(s: SparkSession, dir: String): DataFrame = {
+    // r12 optimization (guide §2.4): ONE window pass. The old shape
+    // union'd two selects over the same windowed frame — exchange reuse
+    // dedups the shuffle but not the Sort+Window above it, so the
+    // user-keyed sort of the full event stream ran twice. Emitting the
+    // extra START row by exploding a per-row 1-or-2-element array keeps
+    // the exact same (src, dst) multiset out of a single Sort+Window.
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val seq = t(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("dst",
         coalesce(lead(col("event_type"), 1).over(w), lit("END")))
       .withColumn("rn", row_number().over(w))
-    seq.select(col("event_type").as("src"), col("dst"))
-      .unionByName(seq.filter(col("rn") === 1)
-        .select(lit("START").as("src"), col("event_type").as("dst")))
+    val pair = struct(col("event_type").as("src"), col("dst").as("dst"))
+    val startPair = struct(lit("START").as("src"),
+      col("event_type").as("dst"))
+    seq.select(explode(when(col("rn") === 1, array(pair, startPair))
+        .otherwise(array(pair))).as("tr"))
+      .select(col("tr.src").as("src"), col("tr.dst").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("c"))
   }
 

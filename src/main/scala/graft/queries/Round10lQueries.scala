@@ -33,25 +33,36 @@ object Round10lQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     graft.Tables(s, dir, n)
 
-  /** Distinct (order, part) basket memberships. */
+  /** Per-order sorted distinct item arrays (r12, guide §2.3/§2.4): ONE
+    * groupBy(order) with map-side partial collect_set replaces the old
+    * distinct-rows frame — the downstream pair expansion then runs in
+    * memory per basket instead of a per-order self-join (which shuffled
+    * the membership table and sorted both sort-merge sides), and the
+    * per-item counts come from exploding the same arrays. Basket sizes
+    * are bounded (~7 lines in TPC-H-shaped data), so the expansion is
+    * constant work per order.
+    */
   private def baskets(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
 
-  /** Within-order part pairs (p_a < p_b) with support counts. */
-  private def pairs(b: DataFrame): DataFrame = {
-    val l = b.select(col("o"), col("p").as("p_a"))
-    val r = b.select(col("o"), col("p").as("p_b"))
-    l.join(r, Seq("o"))
-      .filter(col("p_a") < col("p_b"))
+  /** Within-order part pairs (p_a < p_b) with support counts — the
+    * arrays are sorted, so slice-after-i enumeration gives exactly the
+    * p_a < p_b pair set of the old self-join.
+    */
+  private def pairs(b: DataFrame): DataFrame =
+    b.select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), pb =>
+          struct(a.as("p_a"), pb.as("p_b")))))).as("e"))
+      .select(col("e.p_a").as("p_a"), col("e.p_b").as("p_b"))
       .groupBy("p_a", "p_b")
       .agg(count(lit(1)).as("cooc"))
-  }
 
   /** Per-part basket counts. */
   private def itemCounts(b: DataFrame): DataFrame =
-    b.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    b.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -79,7 +90,9 @@ object Round10lQueries {
     "q_item_lift" -> ((s, dir) => {
       val b = graft.CacheScope.retain(baskets(s, dir))
       val n = itemCounts(b)
-      val totB = b.select(countDistinct(col("o")).as("b_total"))
+      // one row per order in the grouped-sets frame, so the distinct
+      // basket total is a plain count
+      val totB = b.agg(count(lit(1)).as("b_total"))
       pairs(b).filter(col("cooc") >= 3)
         .join(broadcast(n.select(col("p").as("p_a"), col("n").as("n_a"))),
           Seq("p_a"))

@@ -56,6 +56,8 @@ object Round12bQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_topk_space_saving" -> ((s, dir) => {
+      // r12: one retained ground-truth aggregate serves phase 2, the
+      // top-10, and the row total (see q_topk_weighted's note)
       val ev = t(s, dir, "events")
         .filter(col("user_id").isNotNull)
         .select(col("event_id"), col("user_id"))
@@ -68,17 +70,19 @@ object Round12bQueries {
       val cands = local.join(broadcast(shTot), "sh")
         .filter(col("ln") * 200 >= col("st"))
         .select("user_id").distinct()
-      val exact = ev.join(broadcast(cands), Seq("user_id"), "left_semi")
-        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      // verification side: the true counts (the oracle's ground truth)
+      val full = graft.CacheScope.retain(
+        ev.groupBy("user_id").agg(count(lit(1)).as("n")))
+      val exact = full.join(broadcast(cands), Seq("user_id"), "left_semi")
+        .select(col("user_id"), col("n").as("n_events"))
       val top10 = exact
         .orderBy(col("n_events").desc, col("user_id").asc).limit(10)
         .withColumn("rnk", row_number().over(org.apache.spark.sql
           .expressions.Window.orderBy(col("n_events").desc,
             col("user_id").asc))) // 10-row post-limit frame
-      // verification side: the true counts (the oracle's ground truth)
-      val full = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
       val fullTop = full.orderBy(col("n").desc, col("user_id").asc).limit(10)
-      val nTot = ev.agg(count(lit(1)).as("n_total"))
+      // coalesce: the old COUNT(*) total is 0 (not NULL) on an empty corpus
+      val nTot = full.agg(coalesce(sum(col("n")), lit(0L)).as("n_total"))
       val stats = full.agg(count(lit(1)).as("n_keys"))
         .crossJoin(broadcast(cands.agg(count(lit(1)).as("n_candidates"))))
         .crossJoin(broadcast(fullTop.join(cands, Seq("user_id"),
@@ -94,6 +98,14 @@ object Round12bQueries {
     }),
 
     "q_topk_weighted" -> ((s, dir) => {
+      // r12 (guide §1.2/§2.4): ONE spread scan of lineitem feeds the
+      // sharded phase-1 summary, and ONE retained ground-truth aggregate
+      // (`full`, needed for the verification columns anyway) also serves
+      // as phase 2's exact counts and the weight total — the old shape
+      // re-scanned and re-aggregated the raw 1-row-group file four
+      // times, serially each time. Results are identical: candidate
+      // exact counts read off the full exact aggregate, and the integer
+      // total is the sum of per-key sums.
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("w"))
@@ -106,18 +118,18 @@ object Round12bQueries {
       val cands = local.join(broadcast(shTot), "sh")
         .filter(col("lw") * 4000 >= col("stw"))
         .select("l_partkey").distinct()
-      val exact = li.join(broadcast(cands), Seq("l_partkey"), "left_semi")
-        .groupBy("l_partkey").agg(sum(col("w")).as("weight"),
-          count(lit(1)).as("n_rows"))
+      val full = graft.CacheScope.retain(li.groupBy("l_partkey")
+        .agg(sum(col("w")).as("fw"), count(lit(1)).as("n_rows")))
+      val exact = full.join(broadcast(cands), Seq("l_partkey"), "left_semi")
+        .select(col("l_partkey"), col("fw").as("weight"), col("n_rows"))
       val top10 = exact
         .orderBy(col("weight").desc, col("l_partkey").asc).limit(10)
         .withColumn("rnk", row_number().over(org.apache.spark.sql
           .expressions.Window.orderBy(col("weight").desc,
             col("l_partkey").asc)))
-      val full = li.groupBy("l_partkey").agg(sum(col("w")).as("fw"))
       val fullTop = full.orderBy(col("fw").desc, col("l_partkey").asc)
         .limit(10)
-      val wTot = li.agg(sum(col("w")).as("w_total"))
+      val wTot = full.agg(sum(col("fw")).as("w_total"))
       val stats = full.agg(count(lit(1)).as("n_keys"))
         .crossJoin(broadcast(cands.agg(count(lit(1)).as("n_candidates"))))
         .crossJoin(broadcast(fullTop.join(cands, Seq("l_partkey"),
@@ -136,25 +148,43 @@ object Round12bQueries {
       val ev = t(s, dir, "events")
         .filter(col("user_id").isNotNull && col("event_type").isNotNull)
         .select(col("event_id"), col("event_type"), col("user_id"))
-      val cnt = ev.groupBy("event_type", "user_id")
-        .agg(count(lit(1)).as("c"))
+      // r12 (guide §2.3/§4): one retained (type, shard, user) count is
+      // the finest aggregate — the per-type counts are its shard-sums,
+      // so events are scanned and md5-sharded ONCE (was twice). Both
+      // argmaxes (count DESC, user ASC) are packed-long max aggregates:
+      // max_by over a struct ordering key plans a SortAggregate
+      // (non-mutable buffer), which re-sorted the count table map-side;
+      // (c << 32) | (2^32-1 − user) keeps whole-stage-codegen
+      // HashAggregates. Pack preconditions guarded loud (ktruss idiom).
+      val m32 = lit(0xFFFFFFFFL)
+      def packCU(c: Column, u: Column): Column =
+        when(c < lit(1L << 31) && u >= 0 && u <= m32,
+          shiftleft(c, 32).bitwiseOR(m32 - u))
+          .otherwise(raise_error(concat(lit("anyHeavy pack overflow: "),
+            c.cast("string"), lit(","), u.cast("string"))).cast("long"))
+      val lc = graft.CacheScope.retain(
+        ev.withColumn("sh", shard("ah", col("event_id")))
+          .groupBy("event_type", "sh", "user_id")
+          .agg(count(lit(1)).as("lc")))
+      val cnt = lc.groupBy("event_type", "user_id")
+        .agg(sum(col("lc")).as("c"))
       // exact per-type mode, (count DESC, user ASC) tie-break — the
       // map-side-combinable argmax, never a per-type sort of raw rows
       val mode = cnt.groupBy("event_type")
-        .agg(max_by(col("user_id"), struct(col("c"), -col("user_id")))
-            .as("mode_user"),
+        .agg(max(packCU(col("c"), col("user_id"))).as("p"),
           max(col("c")).as("mode_n"),
           sum(col("c")).as("n_events"))
+        .select(col("event_type"),
+          (m32 - col("p").bitwiseAND(m32)).as("mode_user"),
+          col("mode_n"), col("n_events"))
       // Boyer–Moore candidates: per-(type, shard) top-1 — a strict
       // majority of the type must be the strict majority (hence the
       // unique top-1) of at least one shard
-      val cands = ev.withColumn("sh", shard("ah", col("event_id")))
-        .groupBy("event_type", "sh", "user_id")
-        .agg(count(lit(1)).as("lc"))
+      val cands = lc
         .groupBy("event_type", "sh")
-        .agg(max_by(col("user_id"), struct(col("lc"), -col("user_id")))
-          .as("cand_user"))
-        .select(col("event_type"), col("cand_user")).distinct()
+        .agg(max(packCU(col("lc"), col("user_id"))).as("p"))
+        .select(col("event_type"),
+          (m32 - col("p").bitwiseAND(m32)).as("cand_user")).distinct()
       val inCand = mode.join(cands,
           mode("event_type") === cands("event_type") &&
             col("mode_user") === col("cand_user"), "left_semi")

@@ -37,8 +37,12 @@ object Round12gQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_moments" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_discount").cast(DecimalType(4, 2)).as("x"))
+      // r12: the sf parquet is one row group => a 1-task scan; the
+      // partial decimal aggregate ran serially (guide §2.5 unsplittable
+      // input -> repartition right after the read). spread() is a
+      // ~10 MB round-robin exchange that unlocks all cores.
+      val li = PipelineQueries.spread(s, t(s, dir, "lineitem")
+        .select(col("l_discount").cast(DecimalType(4, 2)).as("x")))
       // exact raw power sums: x ∈ [0, 1] with scale 2 ⇒ x² scale 4,
       // x³ scale 6, x⁴ scale 8 — all exact decimal products
       val stats = li.agg(
@@ -76,10 +80,10 @@ object Round12gQueries {
     }),
 
     "q_covar_corr" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = PipelineQueries.spread(s, t(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
           col("l_discount").cast(DecimalType(4, 2)).as("x"),
-          col("l_extendedprice").cast(dec).as("y"))
+          col("l_extendedprice").cast(dec).as("y"))) // spread: see q_moments
       val stats = li.groupBy("flag").agg(
         count(lit(1)).as("n"),
         sum(col("x")).cast(DecimalType(28, 2)).as("sx"),
@@ -114,10 +118,10 @@ object Round12gQueries {
     }),
 
     "q_avg_weighted" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = PipelineQueries.spread(s, t(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
           col("l_extendedprice").cast(dec).as("x"),
-          col("l_quantity").cast(dec).as("w"))
+          col("l_quantity").cast(dec).as("w"))) // spread: see q_moments
       li.groupBy("flag").agg(
           count(lit(1)).as("n"),
           sum((col("w") * col("x")).cast(DecimalType(38, 4)))

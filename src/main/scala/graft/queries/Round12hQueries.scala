@@ -90,16 +90,18 @@ object Round12hQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_anova_f" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // r12: spread() after the 1-row-group scan — the partial decimal
+      // aggregate otherwise runs on a single scan task (guide §2.5)
+      val li = PipelineQueries.spread(s, t(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
-          col("l_extendedprice").cast(dec).as("x"))
+          col("l_extendedprice").cast(dec).as("x")))
       anovaFrom(groupStats(li))
     }),
 
     "q_levene_bf" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = PipelineQueries.spread(s, t(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
-          col("l_extendedprice").cast(dec).as("x"))
+          col("l_extendedprice").cast(dec).as("x"))) // spread: see q_anova_f
       val tot = li.groupBy("flag").agg(count(lit(1)).as("gn"))
       // lower median off the per-group distinct-value grid: the window
       // input is |distinct x per group|, never the corpus row count
@@ -117,11 +119,11 @@ object Round12hQueries {
     }),
 
     "q_corr_matrix" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(
+      val li = PipelineQueries.spread(s, t(s, dir, "lineitem").select(
         col("l_discount").cast(DecimalType(4, 2)).as("vd"),
         col("l_extendedprice").cast(dec).as("vp"),
         col("l_quantity").cast(dec).as("vq"),
-        col("l_tax").cast(DecimalType(4, 2)).as("vt"))
+        col("l_tax").cast(DecimalType(4, 2)).as("vt"))) // spread: q_anova_f
       def cross(a: String, b: String): Column =
         sum((col(a) * col(b)).cast(DecimalType(38, 4)))
           .cast(DecimalType(38, 4))
@@ -171,9 +173,9 @@ object Round12hQueries {
     }),
 
     "q_gd_linreg" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(
+      val li = PipelineQueries.spread(s, t(s, dir, "lineitem").select(
         col("l_quantity").cast(dec).as("x"),
-        col("l_extendedprice").cast(dec).as("y"))
+        col("l_extendedprice").cast(dec).as("y"))) // spread: q_anova_f
       val stats = li.agg(
         count(lit(1)).as("n"),
         sum(col("x")).cast(DecimalType(28, 2)).as("sx"),

@@ -26,11 +26,22 @@ object Round5gQueries {
     * (bounded small by the data model), never in corpus size.
     */
   private[queries] def coEdges(s: SparkSession, dir: String): DataFrame = {
+    // r12 optimization (guide §2.4/§3): pair enumeration happens INSIDE
+    // the per-order group — one groupBy(orderkey) with map-side partial
+    // collect_set, then an in-memory pair expansion over the sorted
+    // array (orders are bounded-small: ≤7 lines), then the same distinct.
+    // The old self-join shape shuffled lineitem by orderkey and SORTED
+    // BOTH sort-merge sides (exchange reuse dedups the shuffle, not the
+    // sorts); this shape has no join at all. sort_array makes the
+    // collect_set order deterministic and gives a < b by construction —
+    // the (a, b) pair set is identical to the join's.
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+    li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), b =>
+          struct(a.as("a"), b.as("b")))))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
   }
 

@@ -21,15 +21,12 @@ object Round5oQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     graft.Tables(s, dir, n)
 
-  /** Distinct undirected co-purchase edges (a < b), as Round5g. */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .distinct()
-  }
+  /** Distinct undirected co-purchase edges (a < b), as Round5g —
+    * delegates to the shared builder (r12: the per-order grouped pair
+    * expansion replaced the self-join in ONE place).
+    */
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    Round5gQueries.coEdges(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

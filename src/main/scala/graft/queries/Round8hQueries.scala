@@ -100,30 +100,53 @@ object Round8hQueries {
     // in position order; trigram/bigram tables broadcast.
     "q_trigram_lm_nll" -> ((s, dir) => {
       import graft.functions.DetMath.dln
-      // split once and explode, then build the trigram with lead()
-      // over the (doc, pos) order: element_at(split(...), i) inside a
-      // transform lambda re-splits the text per ELEMENT (measured 87 s
-      // at sf0.1 vs ~1 s for this shape)
-      val byPos = Window.partitionBy("doc_id").orderBy("pos")
-      val chars = t(s, dir, "documents")
+      // r12 optimization (guide §2.4): the (c1,c2,c3) trigram stream is
+      // the char array zipped with its own 1- and 2-shifted slices — all
+      // PER-ROW array ops — so no per-char shuffle exists at all. The
+      // old lead()-over-(doc,pos) window shuffled and sorted the entire
+      // char-level stream by doc_id, TWICE (the `chars` frame feeds both
+      // the trigram-count build and the scoring join, and window
+      // subtrees are not exchange-reused). Plan diff: 3 Window + 3 Sort
+      // + 2 char-level Exchanges → 0; only the trigram-count groupBy
+      // shuffles. Deliberately NOT a per-element lambda over the array:
+      // indexing the split array inside a transform lambda re-evaluates
+      // split per ELEMENT once CollapseProject inlines it (measured
+      // 29.6 s at sf0.1 vs 0.9 s for this shape; same class as the 87 s
+      // element_at(split(...)) trap this header documented before).
+      // arrays_zip pads the shorter slices with NULL, exactly like the
+      // old lead() at the doc tail.
+      // spread the ~1-file document scan first: with no per-char shuffle
+      // left, everything downstream would otherwise run on the scan's
+      // 1-2 input splits (measured: 28 s wall on 30 s task time); the
+      // round-robin exchange moves 5000 doc rows and unlocks the full
+      // core count (guide §2.6 idle capacity / §6 input splits)
+      def cs = split(col("text"), "")
+      val chars = PipelineQueries.spread(s, t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
-          posexplode(split(col("text"), "")).as(Seq("p0", "c1")))
+          posexplode(arrays_zip(cs.as("c1"),
+            slice(cs, lit(2), greatest(size(cs), lit(1))).as("c2"),
+            slice(cs, lit(3), greatest(size(cs), lit(1))).as("c3")))
+            .as(Seq("p0", "z")))
         .select(col("doc_id"), col("lang"), (col("p0") + 1).as("pos"),
-          col("c1"))
-        .withColumn("c2", lead("c1", 1).over(byPos))
-        .withColumn("c3", lead("c1", 2).over(byPos))
+          col("z.c1").as("c1"), col("z.c2").as("c2"),
+          col("z.c3").as("c3"))
         .filter(col("c3").isNotNull)
       val tric = graft.CacheScope.retain(
         chars.groupBy("c1", "c2", "c3").agg(count(lit(1)).as("cnt3")))
       val bic = tric.groupBy("c1", "c2")
         .agg(sum("cnt3").cast("long").as("cnt2"))
+      // `term` is projected BEFORE the aggregate: a collect_list input
+      // expression is evaluated interpreted inside Collect.update (the
+      // aggregate is ObjectHashAggregate, outside whole-stage codegen),
+      // and the two ~10-term dln DAGs per row dominated the old task
+      // time; as a Project column they run codegen'd (guide §4)
       val scored = chars
         .join(broadcast(tric), Seq("c1", "c2", "c3"))
         .join(broadcast(bic), Seq("c1", "c2"))
+        .withColumn("term", dln(col("cnt2")) - dln(col("cnt3")))
         .groupBy("doc_id", "lang").agg(
           count(lit(1)).as("n_tri"),
-          sortedFold(collect_list(struct(col("pos"),
-            (dln(col("cnt2")) - dln(col("cnt3"))).as("term"))), "term")
+          sortedFold(collect_list(struct(col("pos"), col("term"))), "term")
             .as("ts"))
         .select(col("lang"), col("doc_id"),
           (col("ts") / col("n_tri")).as("nll"))
