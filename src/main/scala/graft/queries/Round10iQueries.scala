@@ -67,6 +67,15 @@ object Round10iQueries {
 
   /** One-row wide frame: c_{src}_{dst} counts, n_{src} row totals,
     * p_{src}_{dst} probabilities (0.0 on empty rows).
+    *
+    * r12 optimization (guide §3.3 "planning time itself can become the
+    * bottleneck"): the old withColumn-per-column foldLeft stacked ~65
+    * Project nodes here (plus ~9 more per solve iteration), and the
+    * bench's warm pass spent 4.0 s of wall on 0.003 s of task time —
+    * pure Catalyst analysis/optimization of the projection tower. The
+    * column EXPRESSIONS are unchanged (bitwise-identical IEEE trees);
+    * they are just emitted in two wide selects instead of 35 nested
+    * projections.
     */
   private def wideP(s: SparkSession, dir: String): DataFrame = {
     val tc = transitions(s, dir)
@@ -74,38 +83,57 @@ object Round10iQueries {
       sum(when(col("src") === src && col("dst") === dst, col("c"))
         .otherwise(0L)).as(s"c_${src}_$dst")
     val wide = tc.agg(aggs.head, aggs.tail: _*)
-    Srcs.foldLeft(wide) { (df, src) =>
-      val withN = df.withColumn(s"n_$src",
-        Dsts.map(d => col(s"c_${src}_$d")).reduce(_ + _))
-      Dsts.foldLeft(withN) { (d2, dst) =>
-        d2.withColumn(s"p_${src}_$dst",
-          when(col(s"n_$src") > 0, col(s"c_${src}_$dst").cast("double")
-            / col(s"n_$src").cast("double")).otherwise(lit(0.0)))
-      }
-    }
+    val withN = wide.select(wide.columns.map(col) ++ Srcs.map(src =>
+      Dsts.map(d => col(s"c_${src}_$d")).reduce(_ + _).as(s"n_$src")): _*)
+    withN.select(withN.columns.map(col) ++ (for { src <- Srcs; dst <- Dsts }
+      yield when(col(s"n_$src") > 0, col(s"c_${src}_$dst").cast("double")
+        / col(s"n_$src").cast("double")).otherwise(lit(0.0))
+        .as(s"p_${src}_$dst")): _*)
   }
 
-  /** k-step value iteration on the wide frame; `removed` channel (if
-    * any) contributes 0 wherever it appears as a destination. Adds
-    * v_{state} columns and the start value V.
+  /** The removal-effect value expression for `src` given the removed
+    * channel: written-order multiply-add over the p_ columns (the
+    * removed channel's term is DROPPED, exactly as before).
+    */
+  private def vTerms(src: String, removed: Option[String],
+                     v: String => Column): Column =
+    (Transient.filterNot(removed.contains)
+      .map(d => col(s"p_${src}_$d") * v(d)) :+
+      col(s"p_${src}_purchase") * lit(1.0)).reduce(_ + _)
+
+  /** k-step value iteration for SEVERAL removal variants at once on the
+    * one-row wide frame: per variant `tag -> removed`, adds
+    * v_<tag>_<state> columns and the start value V_<tag>. One Project
+    * per iteration for ALL variants (the old shape built a separate
+    * 60-Project plan per variant and crossJoined five of them — ~4 s of
+    * pure planning per action at a 6-task execution).
+    */
+  private def multiSolve(base: DataFrame,
+                         variants: Seq[(String, Option[String])]): DataFrame = {
+    val keep = base.columns.map(col)
+    var df = base.select(keep ++ variants.flatMap { case (tag, _) =>
+      Transient.map(st => lit(0.0).as(s"v_${tag}_$st")) }: _*)
+    for (_ <- 1 to Iters) {
+      df = df.select(keep ++ variants.flatMap { case (tag, removed) =>
+        Transient.map { st =>
+          if (removed.contains(st)) lit(0.0).as(s"v_${tag}_$st")
+          else vTerms(st, removed, d => col(s"v_${tag}_$d"))
+            .as(s"v_${tag}_$st")
+        } }: _*)
+    }
+    df.select(df.columns.map(col) ++ variants.map { case (tag, removed) =>
+      vTerms("START", removed, d => col(s"v_${tag}_$d")).as(s"V_$tag") }: _*)
+  }
+
+  /** Single-variant solve (q_absorbing_conversion's shape): v_{state}
+    * columns + start value V, via [[multiSolve]]'s one-Project-per-
+    * iteration plan.
     */
   private def solve(base: DataFrame, removed: Option[String]): DataFrame = {
-    def vTerms(src: String, v: String => Column): Column =
-      (Transient.filterNot(removed.contains)
-        .map(d => col(s"p_${src}_$d") * v(d)) :+
-        col(s"p_${src}_purchase") * lit(1.0)).reduce(_ + _)
-    var df = Transient.foldLeft(base)((d, st) =>
-      d.withColumn(s"v_$st", lit(0.0)))
-    for (_ <- 1 to Iters) {
-      val next = Transient.map { st =>
-        if (removed.contains(st)) lit(0.0).as(s"vn_$st")
-        else vTerms(st, d => col(s"v_$d")).as(s"vn_$st")
-      }
-      df = df.select(df.columns.map(col) ++ next: _*)
-      df = Transient.foldLeft(df)((d, st) =>
-        d.drop(s"v_$st").withColumnRenamed(s"vn_$st", s"v_$st"))
-    }
-    df.withColumn("V", vTerms("START", d => col(s"v_$d")))
+    val tagged = multiSolve(base, Seq("one" -> removed))
+    val renames = Transient.map(st =>
+      col(s"v_one_$st").as(s"v_$st")) :+ col("V_one").as("V")
+    tagged.select(base.columns.map(col) ++ renames: _*)
   }
 
   // ---- DuckDB mirrors ----------------------------------------------
@@ -196,37 +224,53 @@ object Round10iQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_markov_attribution" -> ((s, dir) => {
-      val w = graft.CacheScope.retain(wideP(s, dir))
-      val base = solve(w, None).select(col("V").as("v_base"))
-      val rms = Transient.map(c =>
-        solve(w, Some(c)).select(col("V").as(s"v_rm_$c")))
-      val all = rms.foldLeft(base)((a, b) => a.crossJoin(broadcast(b)))
+      // all five value iterations (base + one per removed channel) run
+      // as columns of ONE one-row frame — no per-variant sub-plan, no
+      // crossJoins, and the retain is gone with them (nothing reuses
+      // the wide frame across actions anymore; there is one action)
+      val solved = multiSolve(wideP(s, dir),
+        ("base" -> None) +: Transient.map(c => s"rm_$c" -> Some(c)))
+      val all = solved.select(col("V_base").as("v_base") +:
+        Transient.map(c => col(s"V_rm_$c").as(s"v_rm_$c")): _*)
       // effects as named columns; the share normalizer adds them in
       // written order (4 terms, one row)
       def eff(c: String): Column =
         when(col("v_base") > 0,
           (col("v_base") - col(s"v_rm_$c")) / col("v_base"))
           .otherwise(lit(0.0))
-      val withEff = Transient.foldLeft(all)((d, c) =>
-        d.withColumn(s"eff_$c", eff(c)))
+      val withEff = all.select(all.columns.map(col) ++
+        Transient.map(c => eff(c).as(s"eff_$c")): _*)
         .withColumn("eff_tot",
           Transient.map(c => col(s"eff_$c")).reduce(_ + _))
-      Transient.map { c =>
-        withEff.select(lit(c).as("channel"), col("v_base"),
-          col(s"v_rm_$c").as("v_removed"), col(s"eff_$c").as("removal_effect"),
+      // one reference to the solved frame; channel rows via explode
+      // instead of a 4-way union that would duplicate the subtree
+      val rows = Transient.map { c =>
+        struct(lit(c).as("channel"), col("v_base"),
+          col(s"v_rm_$c").as("v_removed"),
+          col(s"eff_$c").as("removal_effect"),
           when(col("eff_tot") > 0, col(s"eff_$c") / col("eff_tot"))
             .otherwise(lit(0.0)).as("attribution_share"))
-      }.reduce(_ unionByName _).orderBy("channel")
+      }
+      withEff.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.channel").as("channel"), col("r.v_base").as("v_base"),
+          col("r.v_removed").as("v_removed"),
+          col("r.removal_effect").as("removal_effect"),
+          col("r.attribution_share").as("attribution_share"))
+        .orderBy("channel")
     }),
 
     "q_absorbing_conversion" -> ((s, dir) => {
+      // one reference to the solve tower (the old union of five selects
+      // duplicated the whole iteration subtree 5x in the plan); the
+      // rows come out of a single explode over named structs instead
       val solved = solve(wideP(s, dir), None)
-      (Transient.map { st =>
-        solved.select(lit(st).as("state"),
-          col(s"v_$st").as("p_convert_6"))
-      } :+ solved.select(lit("START").as("state"),
-        col("V").as("p_convert_6")))
-        .reduce(_ unionByName _).orderBy("state")
+      val entries = Transient.map(st =>
+        struct(lit(st).as("state"), col(s"v_$st").as("p_convert_6"))) :+
+        struct(lit("START").as("state"), col("V").as("p_convert_6"))
+      solved.select(explode(array(entries: _*)).as("e"))
+        .select(col("e.state").as("state"),
+          col("e.p_convert_6").as("p_convert_6"))
+        .orderBy("state")
     }),
 
     "q_transition_entropy" -> ((s, dir) => {

@@ -55,13 +55,23 @@ object Round5lQueries {
     // because this is a correctness-checked engine.
     "q_join_size_audit" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_partkey")
-      val counts = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      // counts feeds both arms: retained so the 600k-row groupBy runs once
+      val counts = graft.CacheScope.retain(
+        li.groupBy("l_partkey").agg(count(lit(1)).as("c")))
       val predicted = counts.agg(
         sum(col("c") * col("c")).as("predicted_rows"),
         count(lit(1)).as("n_keys"),
         max(col("c") * col("c")).as("max_key_rows"))
-      val actual = li.as("a").join(li.as("b"), "l_partkey")
-        .agg(count(lit(1)).as("actual_rows"))
+      // verification arm, aggregated-before-the-join (guide §2.3/§3.1):
+      // the old shape broadcast ALL 600k non-distinct keys and counted
+      // the ~18M materialized join rows on the single-row-group scan
+      // task; probing the raw rows against the per-key count table and
+      // summing c gives the identical count — each lineitem row matches
+      // its own key's count row exactly once, so sum(c) = Σ_k c_k² =
+      // count(lineitem ⋈ lineitem). coalesce keeps the empty-input
+      // answer at 0, matching the oracle's COUNT(*).
+      val actual = li.join(broadcast(counts), "l_partkey")
+        .agg(coalesce(sum(col("c")), lit(0L)).as("actual_rows"))
       predicted.join(broadcast(actual))
         .withColumn("max_key_share",
           col("max_key_rows").cast("double") / col("predicted_rows"))

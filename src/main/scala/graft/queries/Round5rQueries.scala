@@ -162,12 +162,12 @@ object Round5rQueries {
     // ("predict links for THESE nodes"), which is how production link
     // prediction runs at scale.
     "q_jaccard_neighbors" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+      // r12 optimization (guide §2.4/§3): the co-purchase pair set comes
+      // from Round5g's coEdges — pair enumeration inside the per-order
+      // group (groupBy + sorted-array slice expansion) instead of the
+      // lineitem sort-merge self-join that sorted both sides. Identical
+      // (a < b, distinct) edge set.
+      val pairs = Round5gQueries.coEdges(s, dir)
       // adj feeds four consumers (seed edges, the wedge join, the
       // known-neighbor anti join, the degree table): retained so the
       // lineitem self-join + distinct is derived once, not per consumer

@@ -49,8 +49,12 @@ object Round7eQueries {
     // actually keeps.
     "q_equi_depth_hist" -> ((s, dir) => {
       // li feeds the quantile probe, the rank plan, and the total-count
-      // aggregate: retained so the scan + project derives once
-      val li = graft.CacheScope.retain(t(s, dir, "lineitem")
+      // aggregate: retained so the scan + project derives once. spread
+      // first (guide §2.5 input splits): the sf parquet is one row
+      // group, so without it the approxQuantile pass and the bucket
+      // projection run on a single task.
+      val li = graft.CacheScope.retain(
+        PipelineQueries.spread(s, t(s, dir, "lineitem"))
         .select((col("l_orderkey") * 10 + col("l_linenumber")).as("uid"),
           floor(col("l_extendedprice") * 100.0).cast("long").as("cents")))
       val ranked = graft.operators.GlobalRank.withRank(
@@ -67,27 +71,33 @@ object Round7eQueries {
         .orderBy("bucket")
     }),
 
-    // ANALYZE TABLE in one aggregate: NDV + null count + min + max for
-    // all four lineitem join keys in a single scan (one Expand-based
-    // multi-distinct aggregate — the one-pass stats collection a cost-
-    // based optimizer runs), then stacked to long format. Key columns
-    // only, so min/max stay BIGINT and no float formatting can
-    // diverge between engines.
+    // ANALYZE TABLE stats: NDV + null count + min + max for all four
+    // lineitem join keys. r12 optimization (guide §2.3/§2.4): the old
+    // 4-way multi-distinct aggregate planned ONE Expand×5 — 3M expanded
+    // rows keyed by all four columns at once, a ~4M-distinct-group
+    // shuffle of 17-column rows, all fed by the single-row-group scan
+    // task. Now each column gets its own groupBy(value) arm (the
+    // partial aggregate collapses to that column's NDV before its
+    // exchange — ≤150k narrow rows instead of 3M wide ones), and the
+    // four arms run as independent parallel branches. NDV counts
+    // non-null groups (COUNT(DISTINCT) semantics); null counts sum the
+    // null group's size with an otherwise(0) so a null-free column
+    // yields 0, and an EMPTY input still yields NULL — both exactly the
+    // oracle's SUM(CASE...). Key columns only, so min/max stay BIGINT.
     "q_stats_collect" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      def stats(c: String) = Seq(
-        count_distinct(col(c)).as(s"ndv_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-        min(col(c)).cast("long").as(s"mn_$c"),
-        max(col(c)).cast("long").as(s"mx_$c"))
-      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
-      val aggs = cols.flatMap(stats)
-      val one = li.agg(aggs.head, aggs.tail: _*)
-      val stackArgs = cols.map(c =>
-        s"'$c', ndv_$c, nn_$c, mn_$c, mx_$c").mkString(", ")
-      one.selectExpr(
-          s"stack(${cols.size}, $stackArgs) " +
-            "as (col_name, ndv, n_nulls, min_v, max_v)")
+      def colStats(c: String): DataFrame =
+        li.select(col(c)).groupBy(c).agg(count(lit(1)).as("cnt"))
+          .agg(
+            count(when(col(c).isNotNull, 1)).as("ndv"),
+            sum(when(col(c).isNull, col("cnt")).otherwise(0L))
+              .as("n_nulls"),
+            min(col(c)).cast("long").as("min_v"),
+            max(col(c)).cast("long").as("max_v"))
+          .select(lit(c).as("col_name"), col("ndv"), col("n_nulls"),
+            col("min_v"), col("max_v"))
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .map(colStats).reduce(_ unionAll _)
         .orderBy("col_name")
     }),
 

@@ -115,7 +115,9 @@ object Round9fQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_hilbert_layout" -> ((s, dir) => {
-      withHilbert8(cells(s, dir), "px", "sy", "hd")
+      // spread (guide §2.5): the sf parquet is one row group, so the
+      // 8-stage Hilbert projection otherwise runs on a single scan task
+      withHilbert8(PipelineQueries.spread(s, cells(s, dir)), "px", "sy", "hd")
         .withColumn("file_id", call_function("div", col("hd"), lit(1024L)))
         .groupBy("file_id").agg(
           count(lit(1)).as("n"),
@@ -125,8 +127,11 @@ object Round9fQueries {
     }),
 
     "q_layout_skipping_compare" -> ((s, dir) => {
+      // spread (guide §2.5): Hilbert + Morton projections over 600k rows
+      // ran on the single-row-group scan task without it
       val c = graft.CacheScope.retain(
-        withHilbert8(cells(s, dir), "px", "sy", "hd")
+        withHilbert8(PipelineQueries.spread(s, cells(s, dir)),
+          "px", "sy", "hd")
           .withColumn("zd", Round5cQueries.morton8(col("px"), col("sy"))))
       // x-sorted linear layout: file = rank by (px, sy) div 1024 — same
       // file size as the curve layouts, built from an exact global rank
@@ -145,7 +150,8 @@ object Round9fQueries {
       val cellOffsets = cellCounts
         .withColumn("off", coalesce(sum("cn").over(wCell), lit(0L)))
         .select(col("px").as("lpx"), col("sy").as("lsy"), col("off"))
-      val linear = c.join(cellOffsets,
+      // ≤65k offset rows: broadcast beats shuffling the 600k-row side
+      val linear = c.join(broadcast(cellOffsets),
           col("px") === col("lpx") && col("sy") === col("lsy"))
         .withColumn("file_id", call_function("div", col("off"), lit(1024L)))
         .groupBy("file_id").agg(
