@@ -422,7 +422,11 @@ object PipelineQueries {
     // Near-dup pairs above a cosine threshold — small-n exact baseline
     // (the LSH-bucketed variant below is the at-scale path).
     "similarity_self_join_dedup" -> ((s, dir) => {
-      val n = withNorm(t(s, dir, "embeddings"))
+      // spread (guide §2.5): the BNLJ streams its left side with the
+      // scan's partitioning, and the sf parquet is ONE row group — the
+      // whole n²/2 pair space evaluated on a single task (measured wall
+      // ≈ total task time). Round-robin to all cores first.
+      val n = withNorm(spread(s, t(s, dir, "embeddings")))
       val a = n.select(col("vec_id").as("a_id"),
         col("embedding").as("ea"), col("nrm").as("na"))
       val b = n.select(col("vec_id").as("b_id"),

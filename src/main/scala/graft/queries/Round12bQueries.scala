@@ -58,9 +58,13 @@ object Round12bQueries {
     "q_topk_space_saving" -> ((s, dir) => {
       // r12: one retained ground-truth aggregate serves phase 2, the
       // top-10, and the row total (see q_topk_weighted's note)
-      val ev = t(s, dir, "events")
-        .filter(col("user_id").isNotNull)
-        .select(col("event_id"), col("user_id"))
+      // retained + spread: ev feeds BOTH the sharded phase-1 summary and
+      // the ground-truth aggregate — without it each arm re-ran the
+      // 1-row-group scan as its own single task (guide §1.2, §2.5)
+      val ev = graft.CacheScope.retain(PipelineQueries.spread(s,
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .select(col("event_id"), col("user_id"))))
       val local = ev.withColumn("sh", shard("ss", col("event_id")))
         .groupBy("sh", "user_id").agg(count(lit(1)).as("ln"))
       val shTot = local.groupBy("sh").agg(sum(col("ln")).as("st"))
@@ -106,9 +110,10 @@ object Round12bQueries {
       // times, serially each time. Results are identical: candidate
       // exact counts read off the full exact aggregate, and the integer
       // total is the sum of per-key sums.
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_quantity").cast("long").as("w"))
+      val li = graft.CacheScope.retain(PipelineQueries.spread(s,
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_quantity").cast("long").as("w"))))
       val rowKey = concat(col("l_orderkey").cast("string"), lit("_"),
         col("l_linenumber").cast("string"), lit("_"),
         col("l_partkey").cast("string"))

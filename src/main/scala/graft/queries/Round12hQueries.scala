@@ -99,9 +99,13 @@ object Round12hQueries {
     }),
 
     "q_levene_bf" -> ((s, dir) => {
-      val li = PipelineQueries.spread(s, t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("flag"),
-          col("l_extendedprice").cast(dec).as("x"))) // spread: see q_anova_f
+      // retained: li feeds THREE consumers (group totals, the median
+      // grid, and the deviation scan) — without the retain each one
+      // re-ran the scan + spread exchange (guide §1.2)
+      val li = graft.CacheScope.retain(
+        PipelineQueries.spread(s, t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            col("l_extendedprice").cast(dec).as("x")))) // spread: q_anova_f
       val tot = li.groupBy("flag").agg(count(lit(1)).as("gn"))
       // lower median off the per-group distinct-value grid: the window
       // input is |distinct x per group|, never the corpus row count
@@ -173,9 +177,13 @@ object Round12hQueries {
     }),
 
     "q_gd_linreg" -> ((s, dir) => {
-      val li = PipelineQueries.spread(s, t(s, dir, "lineitem").select(
+      // NO spread here (measured): the single 6-sum decimal aggregate
+      // reads 0.52 s on the raw 1-task scan vs 0.98 s behind a
+      // round-robin exchange of the two decimal columns — the shuffle
+      // write+read costs more than the lost scan parallelism (guide §1)
+      val li = t(s, dir, "lineitem").select(
         col("l_quantity").cast(dec).as("x"),
-        col("l_extendedprice").cast(dec).as("y"))) // spread: q_anova_f
+        col("l_extendedprice").cast(dec).as("y"))
       val stats = li.agg(
         count(lit(1)).as("n"),
         sum(col("x")).cast(DecimalType(28, 2)).as("sx"),

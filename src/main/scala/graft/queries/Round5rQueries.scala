@@ -180,21 +180,28 @@ object Round5rQueries {
         .filter(col("p_partkey") % 100 === 0)
         .select(col("p_partkey").as("a"))
       // u −(seed edge)− m −(any edge)− w, w ≠ u
-      val seedEdges = adj.join(seeds, Seq("a"))
+      val seedEdges = adj.join(broadcast(seeds), Seq("a"))
         .select(col("a").as("u"), col("b").as("m"))
-      val wedges = seedEdges.join(
+      // broadcast the ~1% seed-edge side (guide §3.1): the wedge join
+      // otherwise sort-merges the FULL bidirectional adjacency on the
+      // middle vertex — the shuffle+sort of 4.8M rows dominates; the
+      // wedge counts still partial-aggregate map-side
+      val wedges = broadcast(seedEdges).join(
           adj.select(col("a").as("m"), col("b").as("w")), Seq("m"))
         .filter(col("w") =!= col("u"))
         .groupBy("u", "w").agg(count(lit(1)).as("common"))
       wedges
         // existing neighbors of u are not predictions (adj holds both
-        // directions, so one orientation check suffices)
+        // directions, so one orientation check suffices). SHUFFLE_HASH:
+        // sort-merge sorted the candidate frame for a probe against the
+        // adjacency; deg (≤|nodes| rows) broadcasts both lookups (§3.1)
         .join(adj.withColumnRenamed("a", "u")
-          .withColumnRenamed("b", "w"), Seq("u", "w"), "left_anti")
-        .join(deg.withColumnRenamed("v", "u")
-          .withColumnRenamed("deg", "deg_u"), Seq("u"))
-        .join(deg.withColumnRenamed("v", "w")
-          .withColumnRenamed("deg", "deg_w"), Seq("w"))
+          .withColumnRenamed("b", "w").hint("SHUFFLE_HASH"),
+          Seq("u", "w"), "left_anti")
+        .join(broadcast(deg.withColumnRenamed("v", "u")
+          .withColumnRenamed("deg", "deg_u")), Seq("u"))
+        .join(broadcast(deg.withColumnRenamed("v", "w")
+          .withColumnRenamed("deg", "deg_w")), Seq("w"))
         .select(col("u"), col("w"), col("common"),
           (col("common").cast("double") /
             (col("deg_u") + col("deg_w") - col("common")))

@@ -73,7 +73,12 @@ object Round9cQueries {
     */
   private def vecCellSims(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    e.select(col("vec_id"), col("label"), col("embedding"),
+    // spread the probe-side scan (guide §2.5): the sf parquet is one
+    // row group, so the |vectors| x |cells| interpreted-lambda cosine
+    // fold otherwise runs on a single task; the centroid arm keeps the
+    // raw scan (a tiny grouped aggregate)
+    PipelineQueries.spread(s, e)
+      .select(col("vec_id"), col("label"), col("embedding"),
         normD(col("embedding")).as("nrm"))
       .crossJoin(broadcast(cents(e).withColumn("cn", normDD(col("c")))))
       .select(col("vec_id"), col("label"), col("c_label"),
@@ -102,7 +107,10 @@ object Round9cQueries {
   /** (pid, vec_id, label, sim) for every probe × non-self vector. */
   private def probeSims(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    e.select(col("vec_id"), col("label"), col("embedding"),
+    // spread: |probes| x corpus dot products off a 1-row-group scan
+    // otherwise evaluate on one task (guide §2.5)
+    PipelineQueries.spread(s, e)
+      .select(col("vec_id"), col("label"), col("embedding"),
         normD(col("embedding")).as("nrm"))
       .crossJoin(broadcast(probes(e)))
       .filter(col("vec_id") =!= col("pid"))

@@ -134,17 +134,29 @@ object Round9dQueries {
       // batch, never all-pairs (the unrestricted 2-hop set is Σd²;
       // measured 21.8 s vs 3.9 s here at sf0.1, and it only worsens
       // with scale). Wedge (u, v, w): u seed, v shared neighbor.
-      val cand = adj.as("x").join(adj.as("y"),
+      // seed side broadcast (guide §3.1): the filter keeps ~1% of adj
+      // (the seed cohort's wedges' outer legs), so broadcasting it
+      // replaces the sort-merge shuffle+sort of the FULL 4.8M-row
+      // bidirectional adjacency on the middle vertex with a broadcast
+      // hash probe; the wedge rows still partial-aggregate map-side
+      // before the (u, w) exchange. Results identical — the seed filter
+      // references only the x side and was already pushed below the join.
+      val cand = broadcast(adj.as("x").filter(col("x.n") % 100 === 0))
+        .join(adj.as("y"),
           col("x.v") === col("y.v") && col("x.n") =!= col("y.n"))
-        .filter(col("x.n") % 100 === 0)
         .groupBy(col("x.n").as("u"), col("y.n").as("w"))
         .agg(count(lit(1)).as("cn"))
-        // drop pairs that are already edges (coEdges is a<b canonical)
-        .join(e, least(col("u"), col("w")) === col("a") &&
+        // drop pairs that are already edges (coEdges is a<b canonical);
+        // SHUFFLE_HASH: sort-merge sorted the multi-million-row
+        // candidate side for a probe against a 1.2M-row edge set (§3.1)
+        .join(e.hint("SHUFFLE_HASH"),
+          least(col("u"), col("w")) === col("a") &&
           greatest(col("u"), col("w")) === col("b"), "left_anti")
+      // deg is a ≤|nodes| aggregate (~20k rows): broadcast both lookups
+      // instead of sort-merging the candidate frame twice (§3.1)
       cand
-        .join(deg.select(col("v").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("v").as("w"), col("d").as("dw")), "w")
+        .join(broadcast(deg.select(col("v").as("u"), col("d").as("du"))), "u")
+        .join(broadcast(deg.select(col("v").as("w"), col("d").as("dw"))), "w")
         .select(col("u"), col("w"), col("cn"),
           (col("du") * col("dw")).as("pa"))
         .orderBy(col("cn").desc, col("pa").desc, col("u"), col("w"))

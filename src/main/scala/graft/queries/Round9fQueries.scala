@@ -115,9 +115,13 @@ object Round9fQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_hilbert_layout" -> ((s, dir) => {
-      // spread (guide §2.5): the sf parquet is one row group, so the
-      // 8-stage Hilbert projection otherwise runs on a single scan task
-      withHilbert8(PipelineQueries.spread(s, cells(s, dir)), "px", "sy", "hd")
+      // NO spread (measured): the one-pass integer Hilbert fold +
+      // 64-group aggregate reads 0.58 s on the raw 1-task scan vs
+      // 1.24 s behind a round-robin exchange of 600k rows — the
+      // shuffle costs more than the projection parallelism buys. The
+      // layout-compare key below keeps its spread because its spread
+      // frame is RETAINED and feeds three probe jobs.
+      withHilbert8(cells(s, dir), "px", "sy", "hd")
         .withColumn("file_id", call_function("div", col("hd"), lit(1024L)))
         .groupBy("file_id").agg(
           count(lit(1)).as("n"),
