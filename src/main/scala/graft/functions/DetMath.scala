@@ -48,6 +48,55 @@ object DetMath {
     e.cast("double") * lit(Ln2) + lit(2.0) * z * (lit(1.0) + z2 * inner)
   }
 
+  /** [[dln]] of `x` added to `df` as column `out`, with the e/m/z/z²
+    * stages as NAMED projection attributes (r12, guide §3.3 planning
+    * cost). The Column form re-inlines each stage's subtree at every
+    * reference — z² appears 9× in the atanh series, m twice in z — so
+    * dln(f(x)) is ~300 tree nodes per occurrence and a NESTED
+    * dexp(…·dln(…)) multiplies that by the 14 references dexp makes to
+    * its argument (~9,000 nodes: measured 2.2 s wall against 0.5 s of
+    * task time on q_temperature_sweep, pure Catalyst/CacheManager tree
+    * walking). Named stages keep the tree linear; CollapseProject
+    * declines to merge a projection whose alias is referenced more than
+    * once, so the staging survives optimization. The arithmetic DAG is
+    * IDENTICAL to [[dln]] — bitwise-equal results.
+    */
+  def withDln(df: org.apache.spark.sql.DataFrame, x: Column,
+              out: String): org.apache.spark.sql.DataFrame = {
+    val (xc, ec, mc, zc, z2c) =
+      (s"__dm_x_$out", s"__dm_e_$out", s"__dm_m_$out", s"__dm_z_$out",
+        s"__dm_z2_$out")
+    val inner = OddK.foldLeft(lit(1.0) / 19)((acc, k) =>
+      lit(1.0) / k + col(z2c) * acc)
+    df.withColumn(xc, x)
+      .withColumn(ec, (length(bin(col(xc))) - 1).cast("int"))
+      .withColumn(mc, col(xc).cast("double") /
+        call_function("shiftleft", lit(1L), col(ec)).cast("double"))
+      .withColumn(zc, (col(mc) - 1) / (col(mc) + 1))
+      .withColumn(z2c, col(zc) * col(zc))
+      .withColumn(out, col(ec).cast("double") * lit(Ln2) +
+        lit(2.0) * col(zc) * (lit(1.0) + col(z2c) * inner))
+      .drop(xc, ec, mc, zc, z2c)
+  }
+
+  /** [[dexp]] of `x` added to `df` as column `out`, with the x/k/r
+    * stages named — see [[withDln]] for why. Identical IEEE DAG to
+    * [[dexp]].
+    */
+  def withDexp(df: org.apache.spark.sql.DataFrame, x: Column,
+               out: String): org.apache.spark.sql.DataFrame = {
+    val (xc, kc, rc) = (s"__dm_x_$out", s"__dm_k_$out", s"__dm_r_$out")
+    val acc1 = (2 to 13).reverse.foldLeft(lit(1.0))((acc, j) =>
+      lit(1.0) + (col(rc) / j) * acc)
+    df.withColumn(xc, x)
+      .withColumn(kc, floor(col(xc) / lit(Ln2)).cast("int"))
+      .withColumn(rc, col(xc) - col(kc).cast("double") * lit(Ln2))
+      .withColumn(out,
+        call_function("shiftleft", lit(1L), col(kc)).cast("double") *
+          (lit(1.0) + col(rc) * acc1))
+      .drop(xc, kc, rc)
+  }
+
   /** The same operation DAG as `dln`, as DuckDB SQL over column names
     * `e`, `z`, `z2` (stage them in CTEs with `dlnPrepSql`).
     */

@@ -28,11 +28,19 @@ object Round10bQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     graft.Tables(s, dir, n)
 
-  /** Best-anchor windowFunnel levels per user (the q_window_funnel
-    * machinery, parameterized by window): (user_id, level 1-3 or none).
+  /** Best-anchor windowFunnel levels per user for SEVERAL windows in
+    * ONE pass (r12, guide §1.2/§2.4): the sweep used to build the whole
+    * anchor×click join + anchor×purchase join + per-user aggregate
+    * chain three times — once per window — and union the results. The
+    * window parameter only appears inside the min(when(...)) aggregate
+    * conditions, so all three windows ride the SAME two joins as
+    * side-by-side aggregate columns (one row per (user, t1) after the
+    * first groupBy, exactly as before, so the per-window t2/t3 minima
+    * are unchanged). Emits (window_sec, user_id, level) via one explode.
     */
-  private def funnelLevels(s: SparkSession, dir: String,
-                           windowUs: Long): DataFrame = {
+  private def funnelLevelsSweep(s: SparkSession, dir: String,
+                                windowsSec: Seq[Long]): DataFrame = {
+    val ws = windowsSec.map(sec => sec -> sec * 1000000L)
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
@@ -44,19 +52,39 @@ object Round10bQueries {
       .select(col("user_id"), col("us").as("p_us"))
     val withClick = anchors.join(clicks, Seq("user_id"), "left")
       .groupBy("user_id", "t1")
-      .agg(min(when(col("c_us") > col("t1") &&
-        col("c_us") <= col("t1") + lit(windowUs), col("c_us"))).as("t2"))
+      .agg(ws.map { case (sec, us) =>
+        min(when(col("c_us") > col("t1") &&
+          col("c_us") <= col("t1") + lit(us), col("c_us"))).as(s"t2_$sec")
+      }.head, ws.tail.map { case (sec, us) =>
+        min(when(col("c_us") > col("t1") &&
+          col("c_us") <= col("t1") + lit(us), col("c_us"))).as(s"t2_$sec")
+      }: _*)
+    val t2Cols = ws.map { case (sec, _) => s"t2_$sec" }
     val perAnchor = withClick.join(purchases, Seq("user_id"), "left")
-      .groupBy("user_id", "t1", "t2")
-      .agg(min(when(col("p_us") > col("t2") &&
-        col("p_us") <= col("t1") + lit(windowUs), col("p_us"))).as("t3"))
-      .select(col("user_id"),
-        when(col("t3").isNotNull, 3)
-          .when(col("t2").isNotNull, 2).otherwise(1).as("lvl"))
-    val best = perAnchor.groupBy("user_id").agg(max(col("lvl")).as("best"))
+      .groupBy((Seq("user_id", "t1") ++ t2Cols).map(col): _*)
+      .agg(ws.map { case (sec, us) =>
+        min(when(col("p_us") > col(s"t2_$sec") &&
+          col("p_us") <= col("t1") + lit(us), col("p_us"))).as(s"t3_$sec")
+      }.head, ws.tail.map { case (sec, us) =>
+        min(when(col("p_us") > col(s"t2_$sec") &&
+          col("p_us") <= col("t1") + lit(us), col("p_us"))).as(s"t3_$sec")
+      }: _*)
+      .select(col("user_id") +: ws.map { case (sec, _) =>
+        when(col(s"t3_$sec").isNotNull, 3)
+          .when(col(s"t2_$sec").isNotNull, 2).otherwise(1).as(s"lvl_$sec")
+      }: _*)
+    val best = perAnchor.groupBy("user_id")
+      .agg(ws.map { case (sec, _) =>
+        max(col(s"lvl_$sec")).as(s"best_$sec") }.head,
+        ws.tail.map { case (sec, _) =>
+          max(col(s"lvl_$sec")).as(s"best_$sec") }: _*)
     ev.select("user_id").distinct()
       .join(best, Seq("user_id"), "left")
-      .select(col("user_id"), coalesce(col("best"), lit(0)).as("level"))
+      .select(explode(array(ws.map { case (sec, _) =>
+        struct(lit(sec).as("window_sec"),
+          coalesce(col(s"best_$sec"), lit(0)).as("level")) }: _*)).as("e"))
+      .select(col("e.window_sec").as("window_sec"),
+        col("e.level").as("level"))
   }
 
   /** The same funnel as DuckDB SQL, namespaced by `p`. */
@@ -114,11 +142,8 @@ object Round10bQueries {
     }),
 
     "q_window_funnel_sweep" -> ((s, dir) => {
-      Seq(1800L, 3600L, 7200L).map { sec =>
-        funnelLevels(s, dir, sec * 1000000L)
-          .groupBy("level").agg(count(lit(1)).as("n_users"))
-          .select(lit(sec).as("window_sec"), col("level"), col("n_users"))
-      }.reduce(_ unionByName _)
+      funnelLevelsSweep(s, dir, Seq(1800L, 3600L, 7200L))
+        .groupBy("window_sec", "level").agg(count(lit(1)).as("n_users"))
         .orderBy("window_sec", "level")
     }),
 

@@ -195,24 +195,34 @@ object Round8aQueries {
           greatest(col("a_id"), col("b_id")).as("v"))
         .distinct()
         .transform(graft.CacheScope.retain)
-      // edge-set signature: one aggregate over the retained frame
-      // (count + order-insensitive xxhash64 sum). Replaces the r8
-      // symmetric-difference union+groupBy+count — that was a second
-      // full shuffle job per contraction round (r8 verdict #6); this is
-      // one action per round, and it doubles as the materialization of
-      // the round's cache. Both sides are distinct canonical (u,v) sets,
-      // so equal (count, hash-sum) means equal sets up to a 2^-64-ish
-      // collision — and the oracle comparison would catch even that.
+      // edge-set signature: count + order-insensitive xxhash64 sum
+      // (replaced the r8 symmetric-difference job, r8 verdict #6). Both
+      // sides are distinct canonical (u,v) sets, so equal (count,
+      // hash-sum) means equal sets up to a 2^-64-ish collision — and
+      // the exact intersect count in the same job closes even that.
       // hash-sum as decimal(38,0): a long sum of 64-bit hashes overflows
       // after a handful of rows under ANSI; 38 digits absorb 1e12 rows
       // of max-magnitude hashes with headroom
-      def sig(df: org.apache.spark.sql.DataFrame): (Long, String) = {
-        val r = df.agg(count(lit(1)),
+      // r12 (guide §1.2 / §5 driver): the contraction loop runs on a
+      // ~250-edge frame, so its cost was ACTIONS, not data — sig(e0),
+      // one sig per round, plus the final intersect confirmation were
+      // 4-5 sequential jobs whose fixed stage-scheduling latency
+      // dominated (pass wall 3.6 s against 1.5 s of total task time).
+      // Each round now runs exactly ONE job: a union'd aggregate
+      // returning the round's signature, the exact next∩e count, and
+      // (first round only) the initial edge set's signature. Collecting
+      // this ≤3-row frame is convergence scalars, not a data-path
+      // collect. The hash is compared as its canonical string — only
+      // ever against values produced by the same cast, so the equality
+      // semantics are unchanged.
+      def sigAgg(df: org.apache.spark.sql.DataFrame, tag: Int)
+          : org.apache.spark.sql.DataFrame =
+        df.agg(count(lit(1)).as("n"),
           coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-            lit(0).cast("decimal(38,0)"))).head()
-        (r.getLong(0), String.valueOf(r.getDecimal(1)))
-      }
-      var eSig = sig(e)
+            lit(0).cast("decimal(38,0)")).as("h"))
+          .select(lit(tag).as("t"), col("n"),
+            col("h").cast("string").as("h"))
+      var eSig: Option[(Long, String)] = None // filled by round 1's job
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -232,30 +242,50 @@ object Round8aQueries {
         // its smaller neighbors on the min of that neighborhood
         val oriented = eL.select(col("v").as("u"), col("u").as("v")) // v < u
         val sMins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+        // localCheckpoint, not retain (r12, guide §5 lineage / §3.3
+        // planning cost): each round's logical plan otherwise CONTAINS
+        // every earlier round's plan plus the whole LSH pair-graph
+        // derivation, and CacheManager canonicalizes that growing tree
+        // at every subtree of every action — measured as a 2.75 s
+        // zero-jobs-running driver gap between round 1 and round 2
+        // (vs 0.6 s of actual job time). The checkpoint truncates the
+        // round frame (~250 edges) to a LogicalRDD leaf; eager, so the
+        // contraction chain runs ONCE instead of once per branch of the
+        // round's union'd aggregate (measured: 3.4 s lazy vs 3.0 s
+        // eager vs 4.4 s retained, warm pass). e0's retain stays — the
+        // expensive pair graph is what cache reuse is for.
         val next = oriented.join(sMins, "u")
           .filter(col("v") =!= col("m"))
           .select(col("m").as("u"), col("v"))
           .union(oriented.join(sMins, "u")
             .select(col("m").as("u"), col("u").as("v")))
           .distinct()
-          .transform(graft.CacheScope.retain)
-        // converged when the canonical edge set is unchanged: one
-        // signature action on the already-retained `next` per round,
-        // then — only on the round whose signature matches — one EXACT
-        // set-equality confirmation (r9 ADVICE: equal (count, hash-sum)
-        // alone admits a ~2^-64 collision). Both sides are distinct
-        // canonical (u,v) sets with equal counts, so |A ∩ B| = |A|
-        // proves A = B with a single intersect action on the final
-        // round; intermediate rounds keep the cheap signature.
-        val nextSig = sig(next)
+          .localCheckpoint(true)
+        // converged when the canonical edge set is unchanged: the
+        // signature + the EXACT set-equality count (r9 ADVICE: equal
+        // (count, hash-sum) alone admits a ~2^-64 collision; both sides
+        // are distinct canonical (u,v) sets with equal counts, so
+        // |A ∩ B| = |A| proves A = B) — both from the round's single
+        // union'd job. The intersect count is only CONSULTED when the
+        // signatures match, exactly as before.
+        val interAgg = next.select("u", "v").intersect(e.select("u", "v"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(1).as("t"), col("n"), lit(null).cast("string").as("h"))
+        val roundFrame = sigAgg(next, 0).unionAll(interAgg)
+        val rows = (if (eSig.isEmpty) roundFrame.unionAll(sigAgg(e, 2))
+                    else roundFrame).collect()
+        val byTag = rows.map(r => r.getInt(0) -> r).toMap
+        val nextSig = (byTag(0).getLong(1), byTag(0).getString(2))
+        val interCnt = byTag(1).getLong(1)
+        if (eSig.isEmpty)
+          eSig = Some((byTag(2).getLong(1), byTag(2).getString(2)))
         iter += 1
         System.err.println(
           s"[dedup_cc_star] round $iter: ${nextSig._1} edges " +
-            s"(prev ${eSig._1})")
-        converged = nextSig == eSig && (nextSig._1 == 0L ||
-          next.select("u", "v").intersect(e.select("u", "v")).count() ==
-            nextSig._1)
-        eSig = nextSig
+            s"(prev ${eSig.get._1})")
+        converged = nextSig == eSig.get &&
+          (nextSig._1 == 0L || interCnt == nextSig._1)
+        eSig = Some(nextSig)
         e = next
       }
       // converged: every edge is (component-min, member). min-agg on the

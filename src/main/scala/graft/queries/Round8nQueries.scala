@@ -43,15 +43,21 @@ object Round8nQueries {
 
     // p_l(tau) = exp(tau * ln n_l) / Z_tau; effective_n = 1/sum p^2.
     "q_temperature_sweep" -> ((s, dir) => {
-      import graft.functions.DetMath.{dln, dexp}
+      import graft.functions.DetMath.{withDln, withDexp}
       val ns = t(s, dir, "documents").groupBy("lang")
         .agg(count(lit(1)).as("n_l"))
-      val w = graft.CacheScope.retain(ns
-        .crossJoin(broadcast(s.range(1).select(explode(array(
-          lit(25), lit(50), lit(75), lit(100))).as("tau"))))
-        .select(col("tau"), col("lang"), col("n_l"),
-          dexp(col("tau").cast("double") / 100 * dln(col("n_l")))
-            .as("wt")))
+      // staged dln/dexp (r12, guide §3.3): the nested Column form built
+      // a ~9,000-node expression tree (dexp re-inlines its argument —
+      // here a full dln — 14×); measured 2.2 s wall on 0.5 s of task
+      // time, all Catalyst. The staged form is the identical IEEE DAG
+      // through named projection attributes — bitwise-equal wt.
+      val w = graft.CacheScope.retain(
+        withDexp(
+          withDln(ns.crossJoin(broadcast(s.range(1).select(explode(array(
+            lit(25), lit(50), lit(75), lit(100))).as("tau")))),
+            col("n_l"), "__lnn"),
+          col("tau").cast("double") / 100 * col("__lnn"), "wt")
+        .select(col("tau"), col("lang"), col("n_l"), col("wt")))
       val z = w.groupBy("tau")
         .agg(sortedFold(collect_list(struct(col("lang"), col("wt"))),
           "wt").as("z"))

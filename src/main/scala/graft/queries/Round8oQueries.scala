@@ -65,15 +65,18 @@ object Round8oQueries {
 
     // H(tau) = -sum_l p_l dlnD(p_l); perplexity = dexp(H).
     "q_mixture_entropy" -> ((s, dir) => {
-      import graft.functions.DetMath.{dln, dexp, dlnD}
+      import graft.functions.DetMath.{dexp, dlnD, withDln, withDexp}
       val ns = t(s, dir, "documents").groupBy("lang")
         .agg(count(lit(1)).as("n_l"))
-      val w = graft.CacheScope.retain(ns
-        .crossJoin(broadcast(s.range(1).select(explode(array(
-          lit(25), lit(50), lit(75), lit(100))).as("tau"))))
-        .select(col("tau"), col("lang"),
-          dexp(col("tau").cast("double") / 100 * dln(col("n_l")))
-            .as("wt")))
+      // staged dln/dexp: identical IEEE DAG, linear plan tree — see
+      // q_temperature_sweep (guide §3.3 planning cost)
+      val w = graft.CacheScope.retain(
+        withDexp(
+          withDln(ns.crossJoin(broadcast(s.range(1).select(explode(array(
+            lit(25), lit(50), lit(75), lit(100))).as("tau")))),
+            col("n_l"), "__lnn"),
+          col("tau").cast("double") / 100 * col("__lnn"), "wt")
+        .select(col("tau"), col("lang"), col("wt")))
       val z = w.groupBy("tau")
         .agg(sortedFold(collect_list(struct(col("lang"), col("wt"))),
           "wt").as("z"))

@@ -39,6 +39,12 @@ object Round9iQueries {
 
   /** lineitem keyed by its exact global row rank and 1024-row block. */
   private def ranked(s: SparkSession, dir: String): DataFrame = {
+    // NO spread (measured, r12): round-robining the 600k-row 4-long
+    // frame ahead of GlobalRank regressed all three consumers
+    // (q_bitpack_plan 1.68 -> 2.90 s, q_delta_bits_audit 2.10 -> 3.03,
+    // q_dict_fallback_sim 2.12 -> 2.54) — the exchange write+read costs
+    // more than the 1-task scan it parallelizes, the same finding as
+    // q_gd_linreg/q_hilbert_layout (guide §1: measure first)
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"))
