@@ -350,10 +350,16 @@ object Bench {
     // in BOTH passes and source unchanged since r5 — the higher-order
     // `aggregate` sorted-fold lambda path (Round5pQueries p² fold) was
     // the one cold path nothing else fronted.
+    // ann_spann_closure joined in r12: the SPANN family's vecCellSims
+    // interpreted-lambda cosine fold (zip_with/aggregate over
+    // array<double> centroids) showed 4.5-9.6 s of JIT in BOTH sweep
+    // passes of ann_spann_recall — closure is the cheapest key (0.6 s)
+    // exercising exactly that path, fronting it untimed (the r6-verdict
+    // remedy for this class).
     Seq("q_hash_agg", "dedup_exact", "similarity_topk", "dedup_containment",
         "dedup_minhash_lsh", "q_state_dwell", "multimodal_chunk_plan",
         "q_dedup_pair_recall", "decontam_fuzzy", "q_bloom_join",
-        "dedup_ngram_jaccard", "q_source_diversity")
+        "dedup_ngram_jaccard", "q_source_diversity", "ann_spann_closure")
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.contains(n)))
       .foreach(n => force(n, passIdx = 9)) // distinct group vs sweep passes
     clearAfter("warmup")

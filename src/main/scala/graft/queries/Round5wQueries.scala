@@ -44,9 +44,13 @@ object Round5wQueries {
       // NULL values are excluded up front: ranking them is engine-
       // divergent (Spark windows put nulls FIRST on asc, DuckDB LAST),
       // and a NULL cannot be winsorized anyway
-      val base = t(s, dir, "events")
+      // retained (r12, guide §1.2): base feeds the group-rank machinery
+      // (which passes over it twice: the quantile probe and the bucket
+      // window), the per-type counts, and the final clamp scan — four
+      // derivations of the same scan+filter otherwise
+      val base = graft.CacheScope.retain(t(s, dir, "events")
         .select(col("event_type"), col("event_id"), col("value"))
-        .filter(col("value").isNotNull)
+        .filter(col("value").isNotNull))
       val ranked = graft.operators.GlobalRank.withGroupRank(
         base, Seq("event_type"), col("value"), col("event_id"), "rk")
       val ns = base.groupBy("event_type").agg(count(lit(1)).as("n"))

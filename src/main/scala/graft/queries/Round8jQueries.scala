@@ -144,9 +144,16 @@ object Round8jQueries {
       val ranked = cells.crossJoin(tots)
         .withColumn("xdiff",
           abs(col("ca") * col("tb") - col("cb") * col("ta")))
-      graft.operators.GlobalRank.withRank(ranked, -col("xdiff"),
-          col("tok"), "rk")
-        .filter(col("rk") <= 10)
+      // r12 (guide §1.2): a top-10 needs a TakeOrdered, not an exact
+      // GLOBAL rank — GlobalRank here ran an extra approxQuantile pass
+      // plus bucket windows and two joins to rank ALL tokens, then kept
+      // 10. orderBy+limit under the same total order (xdiff DESC = the
+      // old -xdiff ASC metric, token ASC tie) selects the identical 10
+      // rows; row_number over the 10-row post-limit frame is the
+      // q_topk_weighted idiom.
+      ranked.orderBy(col("xdiff").desc, col("tok")).limit(10)
+        .withColumn("rk", row_number().over(org.apache.spark.sql
+          .expressions.Window.orderBy(col("xdiff").desc, col("tok"))))
         .select(col("rk").cast("long").as("rk"), col("tok"), col("ca"),
           col("cb"),
           (col("ca").cast("double") / col("ta") -
